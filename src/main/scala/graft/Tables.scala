@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + cross-engine determinism helpers (SURVEY.md §2.13).
+  *
+  * Design notes for 100 TB scale: every loader returns a plain parquet scan
+  * so Catalyst sees the source directly — predicate pushdown, column
+  * pruning and row-group stats skipping (the Spark analog of the reference
+  * store's per-block min/max + bloom skipping) all reach the file scan.
+  * No caching, no collect, no schema inference beyond parquet footers.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events.ts is parquet timestamp[ns], which Spark's µs TimestampType
+    * refuses outright ([PARQUET_TYPE_ILLEGAL]). The supported path is the
+    * `nanosAsLong` legacy conf: read ts as LongType nanos, then integer-
+    * divide (`div` — epoch-ns ≈ 1.7e18 exceeds double's 53-bit mantissa,
+    * so `/` would corrupt values) down to µs. The DuckDB oracle mirrors
+    * the same truncation with `ts::TIMESTAMP` (§2.13 rule 3).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Determinism helpers — SURVEY.md §2.13 hash-match safety rules.
+  *
+  * Float sums are order-dependent across engines; all graded aggregates run
+  * in exact DECIMAL space and only the final value is cast back to DOUBLE
+  * (a deterministic nearest-double conversion both engines share). The
+  * testdata's measure columns are 2-decimal values, so DECIMAL(18,2) casts
+  * are exact round-trips.
+  */
+object Det {
+  val D2: DecimalType = DecimalType(18, 2)
+
+  /** Exact decimal view of a 2-dp double measure column. */
+  def dec(c: Column): Column = c.cast(D2)
+
+  /** Order-independent exact SUM of a 2-dp double measure → DOUBLE. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact AVG: decimal sum cast to double, divided by count (both engines
+    * perform the identical IEEE-754 division). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** 6-dp rounding for scalar float outputs (§2.13 rule 2). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Timestamp as epoch microseconds (bigint) — sidesteps all cross-engine
+    * timestamp formatting/precision/timezone hash differences. */
+  def tsUs(c: Column): Column = unix_micros(c)
+}
