@@ -14,7 +14,11 @@ object SparkEntry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame],
                              Map[String, String])] = Seq(
     (Scans.queries, Scans.oracle),
-    (Aggregates.queries, Aggregates.oracle)
+    (Aggregates.queries, Aggregates.oracle),
+    (Joins.queries, Joins.oracle),
+    (Windows.queries, Windows.oracle),
+    (SetOps.queries, SetOps.oracle),
+    (ScalarFns.queries, ScalarFns.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

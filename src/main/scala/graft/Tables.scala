@@ -69,6 +69,8 @@ object Det {
   def r6(c: Column): Column = round(c, 6)
 
   /** Timestamp as epoch microseconds (bigint) — sidesteps all cross-engine
-    * timestamp formatting/precision/timezone hash differences. */
-  def tsUs(c: Column): Column = unix_micros(c)
+    * timestamp formatting/precision/timezone hash differences. The cast
+    * also accepts TIMESTAMP_NTZ columns (parquet ms without the UTC flag,
+    * e.g. o_orderdate): with the session pinned UTC it is value-exact. */
+  def tsUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 }
