@@ -18,7 +18,9 @@ object SparkEntry {
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
     (SetOps.queries, SetOps.oracle),
-    (ScalarFns.queries, ScalarFns.oracle)
+    (ScalarFns.queries, ScalarFns.oracle),
+    (EventOps.queries, EventOps.oracle),
+    (LlmOps.queries, LlmOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

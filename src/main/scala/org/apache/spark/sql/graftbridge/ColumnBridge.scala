@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved Column onto ColumnNode and made the Expression<->Column
+  * conversions private[sql]. This bridge lives inside the
+  * org.apache.spark.sql namespace (the standard pattern for Spark
+  * extension libraries) to expose exactly the two conversions custom
+  * Catalyst expressions need. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
