@@ -17,7 +17,25 @@ object Smoke {
     val n = df.count()
     println(s"SMOKE entry rows=$n ${if (n > 0) "PASS" else "FAIL"}")
     df.show(5, truncate = false)
+
+    // Streaming smoke: the same tumbling aggregation as q_stream_tumbling,
+    // driven incrementally from a file stream of the events table.
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamOps.tumbling(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("smoke_stream").start()
+    q.processAllAvailable(); q.stop()
+    val sn = spark.table("smoke_stream").count()
+    println(s"SMOKE streaming windows=$sn ${if (sn > 0) "PASS" else "FAIL"}")
+
     spark.stop()
-    if (n <= 0) sys.exit(1)
+    if (n <= 0 || sn <= 0) sys.exit(1)
   }
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Det
+
+/** Event shape shared by the streaming suites and the batch twins —
+  * mirrors the events parquet table under /root/testdata (FIXTURES.md). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Per-user running state emitted by the stateful operator. */
+case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+/** §2.9 Structured Streaming operators.
+  *
+  * Every transform takes a DataFrame and is agnostic to whether the input
+  * is a stream or a static relation — the same declarative plan runs
+  * incrementally under MicroBatchExecution with state stores, or as a
+  * batch job. That symmetry is the Spark analog of the reference store's
+  * "append then re-read from any offset" model: the checkpointed source
+  * offset is the durable read position (resume-from-offset), the
+  * watermark bounds state like the store's tail window.
+  *
+  * Scale: all stateful ops key on user_id (state sharded per partition);
+  * watermarks bound state size; no unpartitioned global state.
+  */
+object StreamOps {
+  import Det._
+
+  /** Tumbling 1h counts per event type (same logic as q_stream_tumbling). */
+  def tumbling(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Watermarked tumbling agg — append mode drops events later than the
+    * watermark delay (10 minutes). */
+  def tumblingWithWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute gap per user (streaming-native
+    * session_window; the oracle-checked batch twin q_stream_session
+    * computes the same sessions via gaps-and-islands). */
+  def sessions(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
+        col("n"), col("sum_v"))
+
+  /** In-stream dedup on event_id within the watermark horizon. */
+  def dedupWithinWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful per-key processing: running (count, value-total) per user —
+    * flatMapGroupsWithState with explicit GroupState, update mode. */
+  def runningPerUser(ds: Dataset[Event]): Dataset[UserRunning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          events.foreach { e => n += 1; v += e.value }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Stream-static join: enrich the event stream with the (static)
+    * customer dimension — broadcastable at any scale. */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer, events("user_id") === customer("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+}
