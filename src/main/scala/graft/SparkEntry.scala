@@ -20,7 +20,8 @@ object SparkEntry {
     (SetOps.queries, SetOps.oracle),
     (ScalarFns.queries, ScalarFns.oracle),
     (EventOps.queries, EventOps.oracle),
-    (LlmOps.queries, LlmOps.oracle)
+    (LlmOps.queries, LlmOps.oracle),
+    (LlmSketches.queries, LlmSketches.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

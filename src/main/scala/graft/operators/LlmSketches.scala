@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.LongArrayDot.longDot
+
+/** Sketch-based LLM operators — the sub-quadratic scale paths promised in
+  * LlmOps' scale notes, each still fully deterministic and DuckDB-oracle
+  * checkable (fixed seeds, portable md5-derived hashes):
+  *
+  *  - MinHash + LSH banding (16 hashes, 4 bands × 4 rows): candidate pairs
+  *    come from banded signature buckets (an equi-join on band keys), then
+  *    are exact-verified. At 100 TB this replaces the all-pairs shingle
+  *    join with |candidates| ≈ |true near-dups|; both engines compute the
+  *    identical pipeline, so approximation ≠ nondeterminism.
+  *  - SimHash: 60-bit sign-aggregated word-hash signature per document;
+  *    near-dup candidates are pairs within a small Hamming radius.
+  *  - IVF ANN: a fixed 8-vector codebook partitions the embedding space;
+  *    search touches only the query's cell — the partition-pruning contract
+  *    an IVF index provides at scale.
+  */
+object LlmSketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def shingles(ws: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", slice(ws, i, lit(3)))))
+
+  private def q6v(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1e6).cast("long"))
+
+  private val duckDot =
+    """SUM(CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) *
+           CAST(round(CAST(qe[i] AS DOUBLE) * 1000000) AS BIGINT))"""
+
+  val queries: Map[String, Q] = Map(
+    // MinHash signatures → LSH bands → candidates → exact verify >= 0.6.
+    // One md5 per shingle; the 16 hash functions are a universal family
+    // h_j(x) = ((2j+1)·x + 12345j) mod p over the base hash — 16 codegen'd
+    // MIN aggregates in a single groupBy pass (the earlier per-seed-md5
+    // HOF formulation cost 27 s at sf0.1; this runs in ~2 s).
+    "q_llm_dedup_minhash" -> ((s, d) => {
+      val p = 2147483647L
+      val sh = Tables.documents(s, d)
+        .where(size(words(col("text"))) >= 3)
+        .select(col("doc_id"), shingles(words(col("text"))).as("sh"))
+      val hm = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
+      val minCols = (0 until 16).map(j =>
+        min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
+      val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)
+            .as("bk")))
+      val bands = sig.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // Exact verification on the candidate set only.
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      val cnt = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+      cand
+        .join(ex.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(ex.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 60-bit SimHash signature per document (word multiset, sign-sum bits).
+    "q_llm_simhash" -> ((s, d) => {
+      val wh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .select(col("doc_id"), md5long(col("w")).as("h"))
+      val bitSums = wh
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
+        .select(col("doc_id"), col("i"),
+          when(expr("shiftright(h, cast(i as int)) & 1") === 1, 1)
+            .otherwise(-1).as("c"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(sum(col("c")).as("bs"))
+      bitSums
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("bs") > 0,
+          expr("shiftleft(1L, cast(i as int))")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-pairs within Hamming radius 10.
+    "q_llm_simhash_pairs" -> ((s, d) => {
+      val sig = queries("q_llm_simhash")(s, d)
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .where(col("hamming") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // IVF-style ANN: assign all vectors to the nearest of 8 fixed
+    // centroids (vec_id < 8 as the codebook), then search ONLY the query
+    // vector's cell for its top-5 neighbors.
+    "q_llm_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), col("qe"),
+          (longDot(col("qe"), col("ce")).cast("double") / 1e12).as("cs"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+      val assigned = scored
+        .withColumn("rn", row_number().over(assignW))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qe"))
+      val qCell = assigned.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"), col("qe").as("qv"))
+      assigned.join(broadcast(qCell), col("cid") === col("qcid"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (longDot(col("qe"), col("qv")).cast("double") / 1e12).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // HLL approximate distinct — no DuckDB oracle (estimator differs);
+    // rows-only check. The exact companion is q_agg_distinct.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
+        .orderBy("event_type"))
+  )
+
+  /** The 16 MIN aggregates and 4 band keys of the minhash oracle are
+    * generated to stay bit-for-bit in sync with the Scala pipeline. */
+  private val minhashOracle: String = {
+    val mins = (0 until 16).map(j =>
+      s"MIN(((${2 * j + 1} * h) + ${12345 * j}) % 2147483647) AS mh$j")
+      .mkString(",\n                           ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS b, " +
+        (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString(" || ',' || ") +
+        " AS bk FROM sig").mkString("\n                     UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            xsh AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM xsh),
+            hm AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                            % 2147483647 AS h
+                   FROM sh),
+            sig AS (SELECT doc_id,
+                           $mins
+                    FROM hm GROUP BY doc_id),
+            band AS ($bandRows),
+            cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                     FROM band x JOIN band y
+                       ON x.b = y.b AND x.bk = y.bk
+                      AND x.doc_id < y.doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+                      FROM cand
+                      JOIN sh a ON a.doc_id = doc_a
+                      JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+                      GROUP BY doc_a, doc_b)
+         SELECT doc_a, doc_b,
+                CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) AS jaccard
+         FROM inter
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.6
+         ORDER BY doc_a, doc_b"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_dedup_minhash" -> minhashOracle,
+    "q_llm_simhash" ->
+      """WITH wh AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM documents) t),
+            bits AS (SELECT doc_id, i,
+                            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+                     FROM wh, generate_series(0, 59) g(i)
+                     GROUP BY doc_id, i)
+         SELECT doc_id,
+                CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_llm_simhash_pairs" ->
+      """WITH wh AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM documents) t),
+            bits AS (SELECT doc_id, i,
+                            SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+                     FROM wh, generate_series(0, 59) g(i)
+                     GROUP BY doc_id, i),
+            sig AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+                    FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         ORDER BY doc_a, doc_b""",
+    "q_llm_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS e FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding AS qe FROM embeddings
+                  WHERE vec_id < 8),
+            u AS (SELECT q.vec_id, c.cid, q.e, c.qe,
+                         unnest(generate_series(1, len(q.e))) AS i FROM q, c),
+            s AS (SELECT vec_id, cid, $duckDot AS dot FROM u
+                  GROUP BY vec_id, cid),
+            a AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dot DESC, cid) AS rn
+                  FROM s),
+            asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+            qc AS (SELECT cid AS qcid FROM asg WHERE vec_id = 0),
+            cell AS (SELECT asg.vec_id FROM asg, qc
+                     WHERE asg.cid = qc.qcid AND asg.vec_id <> 0),
+            p AS (SELECT v.vec_id, v.embedding AS e, qv.embedding AS qe
+                  FROM embeddings v
+                  JOIN cell ON cell.vec_id = v.vec_id,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0) qv(embedding)),
+            pu AS (SELECT vec_id, e, qe,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT vec_id, $duckDot AS dot FROM pu GROUP BY vec_id)
+         SELECT vec_id, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
+         ORDER BY score DESC, vec_id LIMIT 5"""
+  )
+}
