@@ -21,7 +21,9 @@ object SparkEntry {
     (ScalarFns.queries, ScalarFns.oracle),
     (EventOps.queries, EventOps.oracle),
     (LlmOps.queries, LlmOps.oracle),
-    (LlmSketches.queries, LlmSketches.oracle)
+    (LlmSketches.queries, LlmSketches.oracle),
+    (Misc.queries, Misc.oracle),
+    (Multimodal.queries, Multimodal.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
