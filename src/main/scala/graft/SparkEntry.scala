@@ -23,7 +23,8 @@ object SparkEntry {
     (LlmOps.queries, LlmOps.oracle),
     (LlmSketches.queries, LlmSketches.oracle),
     (Misc.queries, Misc.oracle),
-    (Multimodal.queries, Multimodal.oracle)
+    (Multimodal.queries, Multimodal.oracle),
+    (Extras.queries, Extras.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
