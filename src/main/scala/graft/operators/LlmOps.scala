@@ -119,9 +119,13 @@ object LlmOps {
     "q_llm_sim_topk" -> ((s, d) => {
       val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
         .select(quant(col("embedding")).as("qe"))
+      // Quantize BELOW the join: if the transform() HOF sat in the scoring
+      // projection it would evict the whole projection — LongArrayDot
+      // included — from whole-stage codegen (HOFs are interpreted-only).
       Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .select(col("vec_id"), quant(col("embedding")).as("ve"))
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), cosineQ(quant(col("embedding")), col("qe")).as("score"))
+        .select(col("vec_id"), cosineQ(col("ve"), col("qe")).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(20)
     }),
@@ -139,6 +143,18 @@ object LlmOps {
         .where(col("rn") <= 3)
         .select(col("qid"), col("rn"), col("nid"), col("score"))
         .orderBy("qid", "rn")
+    }),
+
+    // Apply the dedup: keep the corpus minus the higher-id side of every
+    // near-dup pair (greedy keep-lowest canonicalization — the "write the
+    // cleaned corpus" step of a dedup pipeline).
+    "q_llm_dedup_keep" -> ((s, d) => {
+      val drop = queries("q_llm_dedup_near")(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // Term statistics: corpus-wide counts + document frequency.
@@ -306,6 +322,26 @@ object LlmOps {
                   FROM s)
          SELECT qid, rn, nid, score FROM r WHERE rn <= 3
          ORDER BY qid, rn""",
+    "q_llm_dedup_keep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            dup AS (SELECT DISTINCT doc_b FROM pairs
+                    JOIN cnt ca ON ca.doc_id = doc_a
+                    JOIN cnt cb ON cb.doc_id = doc_b
+                    WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.6)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+         ORDER BY doc_id""",
     "q_llm_text_tokens" ->
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -1,0 +1,65 @@
+package graft
+
+/** Plan-shape audit: asserts each key operator compiles to the physical
+  * strategy we'd want on a 1000-executor cluster — not just any plan that
+  * happens to return the right rows (SURVEY §7.4 checklist). */
+class PlanAuditSpec extends QuerySuiteBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("flagship q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("q1: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair\n" + p)
+  }
+
+  test("broadcast joins: dimension sides broadcast, not shuffled") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("offset scan: event_id bound is pushed for row-group pruning") {
+    val p = plan("q_scan_offset")
+    assert(p.replaceAll("\\s", "").contains("GreaterThanOrEqual(event_id,500)"), p)
+  }
+
+  test("whole-stage codegen covers the vector-dot projection") {
+    val df = q("q_llm_sim_topk")
+    df.collect() // finalize the AQE plan so codegen markers are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("long_array_dot"), "custom kernel missing:\n" + p)
+    // The scoring projection (the one holding long_array_dot) must carry
+    // the whole-stage-codegen star. If the quantization HOF leaks into it,
+    // the star disappears — that regression cost 194 s once already.
+    val scoringLine = p.linesIterator.find(_.contains("long_array_dot")).get
+    assert(scoringLine.contains("*("),
+      s"scoring projection not codegen'd:\n$p")
+  }
+
+  test("no query collects to the driver (no CollectLimit over full input)") {
+    // Spot the anti-patterns: a LocalTableScan fed by a collect, or a
+    // CartesianProduct where a broadcast nested loop was intended.
+    val suspects = Seq("q_join_theta_range", "q_llm_dedup_embed", "q_llm_knn_join")
+    suspects.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name fell back to CartesianProduct:\n$p")
+    }
+  }
+
+  test("aggregations keep exchanges to one shuffle") {
+    val p = plan("q_agg_group")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "grouped agg should shuffle once (plus result ordering)\n" + p)
+  }
+}
