@@ -94,9 +94,9 @@ object EventOps {
             f AS (SELECT *, CASE WHEN pts IS NULL
                                    OR epoch_us(ts) - epoch_us(pts) > 1800000000
                                  THEN 1 ELSE 0 END AS nw FROM l),
-            s AS (SELECT *, SUM(nw) OVER
+            s AS (SELECT *, CAST(SUM(nw) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
                   FROM f)
          SELECT user_id, sid, epoch_us(MIN(ts)) AS start_us,
                 epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n,

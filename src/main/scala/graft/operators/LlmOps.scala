@@ -85,7 +85,7 @@ object LlmOps {
       // ~|shingles|²/2⁶⁴ — immaterial even at 100 TB corpus scale.
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
         .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      val cnt = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+      val cnt = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
       val pairs = ex.as("a")
         .join(ex.as("b"), col("a.s") === col("b.s")
           && col("a.doc_id") < col("b.doc_id"))
@@ -320,7 +320,7 @@ object LlmOps {
                          row_number() OVER (PARTITION BY qid
                            ORDER BY CAST(dot AS DOUBLE) / 1e12 DESC, nid) AS rn
                   FROM s)
-         SELECT qid, rn, nid, score FROM r WHERE rn <= 3
+         SELECT qid, CAST(rn AS INT) AS rn, nid, score FROM r WHERE rn <= 3
          ORDER BY qid, rn""",
     "q_llm_dedup_keep" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -360,8 +360,8 @@ object LlmOps {
          ORDER BY doc_id, word""",
     "q_llm_text_stats" ->
       """SELECT doc_id, lang, n_chars,
-                length(text) AS n_chars_calc,
-                len(string_split(text, ' ')) AS n_words,
+                CAST(length(text) AS INT) AS n_chars_calc,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_words,
                 round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                       / len(string_split(text, ' ')), 6) AS avg_word_len
          FROM documents ORDER BY doc_id""",
@@ -385,17 +385,17 @@ object LlmOps {
                          CAST(len(list_filter(ws, w -> w = 'the' OR w = 'and'))
                               AS DOUBLE) / len(ws) AS stopr
                   FROM w)
-         SELECT doc_id, n_chars, nw AS n_words,
+         SELECT doc_id, n_chars, CAST(nw AS INT) AS n_words,
                 round(awl, 6) AS avg_word_len,
                 round(stopr, 6) AS stop_ratio,
-                (CASE WHEN nw BETWEEN 50 AND 1000 THEN 0.4 ELSE 0.0 END
+                CAST(CASE WHEN nw BETWEEN 50 AND 1000 THEN 0.4 ELSE 0.0 END
                  + CASE WHEN awl BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-                 + CASE WHEN stopr > 0.01 THEN 0.3 ELSE 0.0 END) AS quality
+                 + CASE WHEN stopr > 0.01 THEN 0.3 ELSE 0.0 END AS DOUBLE) AS quality
          FROM x ORDER BY doc_id""",
     "q_llm_token_count" ->
       """SELECT doc_id,
-                len(string_split(text, ' ')) AS n_ws_tokens,
-                len(regexp_split_to_array(text, '[^a-z0-9]+')) AS n_re_tokens,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                CAST(len(regexp_split_to_array(text, '[^a-z0-9]+')) AS INT) AS n_re_tokens,
                 (length(text) + 3) // 4 AS n_bpe_est
          FROM documents ORDER BY doc_id""",
     "q_llm_fingerprint" ->
@@ -410,7 +410,7 @@ object LlmOps {
          FROM w ORDER BY doc_id""",
     "q_llm_multimodal" ->
       """SELECT doc_id,
-                octet_length(encode(text)) AS payload_len,
+                CAST(octet_length(encode(text)) AS INT) AS payload_len,
                 sha256(text) AS digest,
                 lang AS meta_lang, source AS meta_source
          FROM documents

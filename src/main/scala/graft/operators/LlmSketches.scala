@@ -223,7 +223,7 @@ object LlmSketches {
                            CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
                     FROM bits GROUP BY doc_id)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                bit_count(xor(a.simhash, b.simhash)) AS hamming
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
          ORDER BY doc_a, doc_b""",

@@ -124,7 +124,7 @@ object ScalarFns {
       """SELECT doc_id,
          upper(substr(text, 1, 20)) AS head_u,
          lower(lang) AS lang_l,
-         length(text) AS len,
+         CAST(length(text) AS INT) AS len,
          substr(trim(text), 1, 10) AS head_trim,
          concat_ws('|', lang, source) AS tag,
          substr(replace(text, ' ', '_'), 1, 15) AS snake,
@@ -134,17 +134,18 @@ object ScalarFns {
     "q_fn_date" ->
       """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts FROM events)
          SELECT event_id,
-         year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS dom,
-         dayofweek(ts) + 1 AS dow,
+         CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+         CAST(dayofmonth(ts) AS INT) AS dom,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow,
          CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day_s,
-         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_in,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_in,
          epoch_us(ts) // 1000000 AS epoch_s
          FROM e ORDER BY event_id""",
     "q_fn_math" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tenth,
-         floor(l_extendedprice) AS fl,
-         ceil(l_extendedprice) AS ce,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
          abs(l_discount - 0.05) AS adisc,
          round(pow(l_quantity, 2), 6) AS q2,
          round(sqrt(l_quantity), 6) AS qs,
@@ -159,20 +160,20 @@ object ScalarFns {
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings)
          SELECT vec_id,
-         len(v) AS dim,
+         CAST(len(v) AS INT) AS dim,
          round(v[1], 6) AS first_v,
-         len(list_filter(v, x -> x > 0)) AS n_pos,
+         CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
          round(list_max(v), 6) AS maxv,
          round(list_min(v), 6) AS minv,
          round(list_max(list_transform(v, x -> x * 2)), 6) AS max2,
-         len(list_filter(v[1:32], x -> x > 0)) AS n_pos_half,
+         CAST(len(list_filter(v[1:32], x -> x > 0)) AS INT) AS n_pos_half,
          round(v[1] * list_reverse(v)[1] + v[2] * list_reverse(v)[2], 6) AS dotrev2
          FROM e ORDER BY vec_id""",
     "q_fn_map" ->
       """SELECT event_id,
          array_to_string(list_sort(json_keys(props)), ',') AS keys,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-         len(json_keys(props)) AS n_keys
+         CAST(len(json_keys(props)) AS INT) AS n_keys
          FROM events ORDER BY event_id""",
     "q_fn_json" ->
       """SELECT event_id,

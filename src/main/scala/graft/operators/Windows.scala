@@ -111,10 +111,10 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "q_win_rank" ->
       """SELECT p_partkey, p_brand, p_size,
-         row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn,
-         rank()       OVER (PARTITION BY p_brand ORDER BY p_size) AS rk,
-         dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drk,
-         ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS quartile
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS rn,
+         CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS rk,
+         CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS drk,
+         CAST(ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS quartile
          FROM part ORDER BY p_partkey""",
     "q_win_analytic" ->
       """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
@@ -158,8 +158,8 @@ object Windows {
     "q_topk_per_group" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_limit_offset" ->

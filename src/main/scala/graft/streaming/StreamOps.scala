@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TTLConfig, ValueState}
 import graft.Det
 
 /** Event shape shared by the streaming suites and the batch twins —
@@ -74,6 +75,31 @@ object StreamOps {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** Spark 4 transformWithState processor: per-user high-watermark of
+    * event values held in a ValueState (the modern arbitrary-state API;
+    * requires the RocksDB state store provider). */
+  class MaxValueProcessor extends StatefulProcessor[Long, Event, (Long, Double)] {
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max",
+        Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+      val prev = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+      val mx = rows.foldLeft(prev)((m, e) => math.max(m, e.value))
+      maxState.update(mx)
+      Iterator((key, mx))
+    }
+  }
+
+  /** Per-user running max via transformWithState. */
+  def runningMax(ds: Dataset[Event]): Dataset[(Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new MaxValueProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-static join: enrich the event stream with the (static)

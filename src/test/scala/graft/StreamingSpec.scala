@@ -130,6 +130,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("c_name") != null))
   }
 
+  test("transformWithState: per-user running max across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val sink = nextSink()
+      val q = StreamOps.runningMax(in.toDS()).toDF("user_id", "vmax")
+        .writeStream.outputMode("update").format("memory").queryName(sink).start()
+      in.addData(ev(0, 1, uid = 4, v = 5.0), ev(1, 2, uid = 4, v = 9.0))
+      q.processAllAvailable()
+      in.addData(ev(2, 3, uid = 4, v = 7.0)) // lower value: max must hold
+      q.processAllAvailable(); q.stop()
+      val last = spark.table(sink).where(col("user_id") === 4)
+        .orderBy(col("vmax").desc).head()
+      assert(last.getDouble(1) == 9.0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint resume: offsets continue without loss or duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

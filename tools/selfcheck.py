@@ -71,6 +71,14 @@ def main():
         ec, er = rows_of(exp)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} vs {ec}"); n_fail += 1; continue
+        # Strict arrow-type parity: a hash compare that looks at dtypes or
+        # string renderings would flag int32-vs-int64 or int-vs-double even
+        # when the values compare equal in python.
+        gt = {f.name: str(f.type) for f in got.schema}
+        et = {f.name: str(f.type) for f in exp.schema}
+        tdiff = {c: (gt[c], et[c]) for c in gt if gt[c] != et.get(c, gt[c])}
+        if tdiff:
+            print(f"FAIL {name}: dtype mismatch {tdiff}"); n_fail += 1; continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rows {len(gr)} vs {len(er)}"); n_fail += 1; continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b]
