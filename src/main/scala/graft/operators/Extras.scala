@@ -95,6 +95,29 @@ object Extras {
           bit_count(col("event_id")).as("bits"))
         .orderBy("event_id")),
 
+    // Generator / table-function surface: posexplode with ordinality.
+    "q_fn_generator" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(slice(transform(col("embedding"), x => x.cast("double")),
+            1, 4)))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          round(col("col"), 6).as("v"))
+        .orderBy("vec_id", "pos")),
+
+    // regexp_extract_all → sorted joined string (scalar output).
+    "q_fn_regexp_all" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(",",
+            array_sort(array_distinct(
+              regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0)))))
+            .as("s_words"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .cast("int").as("n_matches"))
+        .orderBy("doc_id")),
+
     // Bag-semantics set ops (ALL variants keep duplicates).
     "q_set_except_all" -> ((s, d) => {
       def uids(t: String) = Tables.events(s, d)
@@ -158,6 +181,19 @@ object Extras {
                 event_id >> 2 AS shr,
                 CAST(bit_count(event_id) AS INT) AS bits
          FROM events ORDER BY event_id""",
+    "q_fn_generator" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings WHERE vec_id < 20),
+            u AS (SELECT vec_id, v, unnest(generate_series(1, 4)) AS pos FROM e)
+         SELECT vec_id, CAST(pos AS INT) AS pos, round(v[pos], 6) AS v
+         FROM u ORDER BY vec_id, pos""",
+    "q_fn_regexp_all" ->
+      """SELECT doc_id,
+                coalesce(array_to_string(list_sort(list_distinct(
+                  regexp_extract_all(text, 's[a-z]+'))), ','), '') AS s_words,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_matches
+         FROM documents ORDER BY doc_id""",
     "q_set_except_all" ->
       """SELECT user_id FROM events WHERE event_type = 'view'
          EXCEPT ALL

@@ -48,11 +48,8 @@ object LlmSketches {
     // HOF formulation cost 27 s at sf0.1; this runs in ~2 s).
     "q_llm_dedup_minhash" -> ((s, d) => {
       val p = 2147483647L
-      val sh = Tables.documents(s, d)
-        .where(size(words(col("text"))) >= 3)
-        .select(col("doc_id"), shingles(words(col("text"))).as("sh"))
-      val hm = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
+      val rows = LlmOps.shingleRows(s, d)
+      val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
       val minCols = (0 until 16).map(j =>
         min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
       val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -69,9 +66,8 @@ object LlmSketches {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       // Exact verification on the candidate set only.
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      val cnt = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+      val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      val cnt = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       cand
         .join(ex.as("a"), col("a.doc_id") === col("doc_a"))
         .join(ex.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
