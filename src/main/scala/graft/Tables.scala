@@ -36,6 +36,12 @@ object Tables {
     * divide (`div` — epoch-ns ≈ 1.7e18 exceeds double's 53-bit mantissa,
     * so `/` would corrupt values) down to µs. The DuckDB oracle mirrors
     * the same truncation with `ts::TIMESTAMP` (§2.13 rule 3).
+    *
+    * KNOWN TRADE-OFF: the legacy conf is session-wide (Spark offers no
+    * per-read option for it), so after this call every parquet read in
+    * the session maps ns-timestamps to LongType instead of erroring.
+    * All engine code routes ns columns through this method; external
+    * callers sharing the session should do the same.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -42,6 +42,9 @@ case class LongArrayDot(left: Expression, right: Expression)
     var i = 0
     var sum = 0L
     while (i < n) {
+      // SQL null semantics: a null element nullifies the whole product sum
+      // (getLong on a null slot would silently read 0 otherwise).
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -57,6 +60,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $sum;

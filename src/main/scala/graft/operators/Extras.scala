@@ -95,6 +95,28 @@ object Extras {
           bit_count(col("event_id")).as("bits"))
         .orderBy("event_id")),
 
+    // Histogram: fixed-width integer bucketing (portable arithmetic).
+    "q_agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        // floor, not a raw cast: DuckDB's double→BIGINT cast ROUNDS while
+        // Spark's truncates — floor is the one shared semantics.
+        .groupBy(floor(col("o_totalprice") / 50000.0).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")),
+
+    // NULL semantics end-to-end: generated nulls through aggregation,
+    // conditional logic and null-ordered sort. The testdata itself is
+    // null-free, so this query manufactures them with nullif.
+    "q_fn_null" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("maybe", nullif(col("o_orderstatus"), lit("O")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("maybe")).as("n_nonnull"),
+          sum(when(col("maybe").isNull, 1).otherwise(0)).as("n_null"),
+          coalesce(min(col("maybe")), lit("ALL_OPEN")).as("min_status"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)),
+
     // Generator / table-function surface: posexplode with ordinality.
     "q_fn_generator" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -181,6 +203,20 @@ object Extras {
                 event_id >> 2 AS shr,
                 CAST(bit_count(event_id) AS INT) AS bits
          FROM events ORDER BY event_id""",
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q_fn_null" ->
+      """SELECT o_orderpriority,
+                COUNT(*) AS n_rows,
+                COUNT(nullif(o_orderstatus, 'O')) AS n_nonnull,
+                CAST(SUM(CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                coalesce(MIN(nullif(o_orderstatus, 'O')), 'ALL_OPEN') AS min_status
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS LAST""",
     "q_fn_generator" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -38,11 +38,6 @@ object LlmOps {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-gram word shingles (caller guarantees >= 3 words). */
-  private def shingles(ws: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(ws) - 2),
-      i => concat_ws(" ", slice(ws, i, lit(3)))))
-
   /** Distinct 3-gram shingles as rows via a typed mapPartitions kernel.
     * The declarative HOF formulation above is interpreted and measured at
     * 4.8 s for 260k shingles at sf0.1 — and a self-join recomputes it on
@@ -54,7 +49,8 @@ object LlmOps {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val w = text.split(' ')
+        val w = text.split(" ", -1) // -1: keep trailing empty tokens, like
+                                    // Spark split() and DuckDB string_split
         if (w.length < 3) Iterator.empty
         else w.sliding(3).map(_.mkString(" ")).toSet.iterator.map((sh: String) => (id, sh))
       })

@@ -29,10 +29,6 @@ object LlmSketches {
 
   private def words(c: Column): Column = split(c, " ")
 
-  private def shingles(ws: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(ws) - 2),
-      i => concat_ws(" ", slice(ws, i, lit(3)))))
-
   private def q6v(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1e6).cast("long"))
 

@@ -25,10 +25,12 @@ abstract class QuerySuiteBase extends AnyFunSuite {
 
   def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
-  /** Stable fingerprint of a DataFrame's full contents, in row order. */
+  /** Stable fingerprint of a DataFrame's full contents, ORDER-SENSITIVE —
+    * a commutative sum would miss row-order nondeterminism, the exact
+    * failure mode the driver's ordered hash compare punishes. */
   def fingerprint(df: DataFrame): (Long, Long) = {
     val rows = df.collect()
-    val h = rows.iterator.map(_.toString.hashCode.toLong).sum
+    val h = rows.foldLeft(0L)((acc, r) => acc * 31 + r.toString.hashCode)
     (rows.length.toLong, h)
   }
 

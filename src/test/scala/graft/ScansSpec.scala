@@ -32,10 +32,12 @@ class ScansSpec extends QuerySuiteBase {
       "unused column p_retailprice should be pruned from the scan")
   }
 
-  test("filter result is a subset of the full scan") {
-    val all = Tables.events(spark, sf)
-    val filtered = all.where(col("user_id") === 7)
-    assert(filtered.exceptAll(all).count() == 0)
+  test("declared filter query matches an independently built filter") {
+    val independent = Tables.events(spark, sf)
+      .where(col("user_id") === 7)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+    assert(q("q_filter_int_value").collect().toSeq == independent.collect().toSeq)
   }
 
   test("events.ts nanosecond column reads as µs-truncated timestamp") {
