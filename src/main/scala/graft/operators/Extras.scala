@@ -69,6 +69,19 @@ object Extras {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
 
+    // Extended date family: month arithmetic with end-of-month clamping,
+    // calendar parts, locale names.
+    "q_fn_date2" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          last_day(to_date(col("o_orderdate"))).cast("string").as("eom"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("int").as("woy"),
+          add_months(to_date(col("o_orderdate")), 1).cast("string").as("next_m"),
+          date_format(col("o_orderdate"), "MMMM").as("month_name"),
+          date_format(col("o_orderdate"), "EEEE").as("day_name"))
+        .orderBy("o_orderkey")),
+
     // Extended string family.
     "q_fn_string2" -> ((s, d) =>
       Tables.documents(s, d)
@@ -183,6 +196,16 @@ object Extras {
          WHERE CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15)) AS BIGINT)
                % 100 < 10
          ORDER BY o_orderkey""",
+    "q_fn_date2" ->
+      """SELECT o_orderkey,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(weekofyear(o_orderdate) AS INT) AS woy,
+                CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                     AS VARCHAR) AS next_m,
+                monthname(o_orderdate) AS month_name,
+                dayname(o_orderdate) AS day_name
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_string2" ->
       """SELECT doc_id,
                 reverse(lang) AS lang_rev,

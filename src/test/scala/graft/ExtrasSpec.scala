@@ -4,8 +4,21 @@ import org.apache.spark.sql.functions._
 
 class ExtrasSpec extends QuerySuiteBase {
   Seq("q_win_distribution", "q_agg_stats", "q_agg_percentile",
-    "q_scan_sample_hash", "q_fn_string2", "q_fn_bit",
-    "q_set_except_all", "q_set_intersect_all").foreach(checkDeclared(_))
+    "q_scan_sample_hash", "q_fn_string2", "q_fn_bit", "q_fn_date2",
+    "q_fn_generator", "q_fn_regexp_all", "q_agg_histogram", "q_fn_null",
+    "q_llm_dedup_keep", "q_set_except_all", "q_set_intersect_all")
+    .foreach(checkDeclared(_))
+
+  test("dedup_keep: removes exactly the doc_b side of near-dup pairs") {
+    val dropped = q("q_llm_dedup_near").select("doc_b").distinct().count()
+    val kept = q("q_llm_dedup_keep").count()
+    assert(kept == Tables.documents(spark, sf).count() - dropped)
+  }
+
+  test("histogram buckets partition all orders") {
+    assert(q("q_agg_histogram").agg(sum("n")).head().getLong(0)
+      == Tables.orders(spark, sf).count())
+  }
 
   test("hash sample rate is ~10% and is a subset of the table") {
     val n = Tables.orders(spark, sf).count().toDouble
