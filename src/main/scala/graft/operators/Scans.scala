@@ -34,6 +34,19 @@ object Scans {
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")),
 
+    // The reference's signature read: SearchForward(startOffset, filters)
+    // — offset bound + int-range filter + blob-equality filter in one
+    // scan. All three predicates push down to the parquet reader (the
+    // row-group-stats + dictionary analog of lstore's block skipping).
+    "q_scan_offset_filtered" -> ((s, d) =>
+      Tables.events(s, d)
+        .where(col("event_id") >= 200 &&
+          col("user_id").between(3, 11) &&
+          col("event_type") === "click")
+        .select(col("event_id"), tsUs(col("ts")).as("ts_us"),
+          col("user_id"), col("value"))
+        .orderBy("event_id")),
+
     // Batched read: first N rows from an offset (batch-size-hint read).
     "q_scan_batch" -> ((s, d) =>
       Tables.events(s, d)
@@ -109,6 +122,12 @@ object Scans {
     "q_scan_offset" ->
       """SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us, user_id,
          event_type, value FROM events WHERE event_id >= 500
+         ORDER BY event_id""",
+    "q_scan_offset_filtered" ->
+      """SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us, user_id, value
+         FROM events
+         WHERE event_id >= 200 AND user_id BETWEEN 3 AND 11
+           AND event_type = 'click'
          ORDER BY event_id""",
     "q_scan_batch" ->
       """SELECT event_id, user_id, event_type, value FROM events

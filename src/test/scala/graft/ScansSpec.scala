@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 class ScansSpec extends QuerySuiteBase {
-  Seq("q_scan_full", "q_scan_offset", "q_scan_batch", "q_source_json_lines",
+  Seq("q_scan_full", "q_scan_offset", "q_scan_offset_filtered",
+    "q_scan_batch", "q_source_json_lines",
     "q_project", "q_filter_int_range", "q_filter_int_value",
     "q_filter_blob_value", "q_filter_compound", "q_filter_like")
     .foreach(checkDeclared(_))
@@ -38,6 +39,18 @@ class ScansSpec extends QuerySuiteBase {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
     assert(q("q_filter_int_value").collect().toSeq == independent.collect().toSeq)
+  }
+
+  test("SearchForward shape: all three predicates pushed to the scan") {
+    // simpleString elides long PushedFilters lists with '…' — use the
+    // formatted explain, which prints them in full.
+    val plan = q("q_scan_offset_filtered").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+      .replaceAll("\\s", "")
+    assert(plan.contains("GreaterThanOrEqual(event_id,200)") &&
+      plan.contains("GreaterThanOrEqual(user_id,3)") &&
+      plan.contains("LessThanOrEqual(user_id,11)") &&
+      plan.contains("EqualTo(event_type,click)"), plan)
   }
 
   test("events.ts nanosecond column reads as µs-truncated timestamp") {
