@@ -168,6 +168,38 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Document chunking: 50-word windows, stride 40 (10-word overlap) —
+    // the split-before-tokenize/embed step of a training-data pipeline.
+    // Pure slice arithmetic, identical in both engines; chunk count per
+    // doc = floor((n_words-1)/stride)+1 so the tail chunk may be short.
+    "q_llm_chunk" -> ((s, d) => {
+      val ws = words(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("w"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("w")) - 1) / 40).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * 40 + 1, lit(50))))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).as("n_words"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Vector norm statistics via exact integer arithmetic (the check step
+    // of an embedding-normalization pass; inputs are unit-norm, so norm≈1
+    // and the quantized norm² is exact and portable).
+    "q_llm_embed_norm" -> ((s, d) => {
+      val qv = quant(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), qv.as("q"))
+        .select(col("vec_id"),
+          (graft.functions.LongArrayDot.longDot(col("q"), col("q"))
+            .cast("double") / 1e12).as("norm_sq"),
+          size(col("q")).cast("int").as("dim"))
+        .orderBy("vec_id")
+    }),
+
     // Term statistics: corpus-wide counts + document frequency.
     "q_llm_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -353,6 +385,28 @@ object LlmOps {
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_b FROM dup)
          ORDER BY doc_id""",
+    "q_llm_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(0, (len(ws) - 1) // 40)) AS i
+                  FROM w)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                array_to_string(ws[i*40+1:i*40+50], ' ') AS chunk,
+                CAST(len(ws[i*40+1:i*40+50]) AS INT) AS n_words
+         FROM x ORDER BY doc_id, chunk_id""",
+    "q_llm_embed_norm" ->
+      """WITH q AS (SELECT vec_id,
+                           list_transform(embedding, x ->
+                             CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe,
+                           embedding AS e
+                    FROM embeddings),
+            u AS (SELECT vec_id, qe, e,
+                         unnest(generate_series(1, len(qe))) AS i FROM q),
+            s AS (SELECT vec_id, SUM(qe[i] * qe[i]) AS dot,
+                         CAST(MAX(len(e)) AS INT) AS dim
+                  FROM u GROUP BY vec_id)
+         SELECT vec_id, CAST(dot AS DOUBLE) / 1e12 AS norm_sq, dim
+         FROM s ORDER BY vec_id""",
     "q_llm_text_tokens" ->
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word

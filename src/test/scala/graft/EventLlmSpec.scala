@@ -8,7 +8,24 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_dedup_embed", "q_llm_sim_topk", "q_llm_knn_join",
     "q_llm_text_tokens", "q_llm_tfidf", "q_llm_text_stats",
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
-    "q_llm_fingerprint", "q_llm_multimodal").foreach(checkDeclared(_))
+    "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
+    "q_llm_embed_norm").foreach(checkDeclared(_))
+
+  test("chunking: words are partitioned with exactly 10-word overlaps") {
+    val doc0 = q("q_llm_chunk").where(col("doc_id") === 0)
+      .orderBy("chunk_id").collect()
+    val nWords = Tables.documents(spark, sf).where(col("doc_id") === 0)
+      .select(size(split(col("text"), " "))).head().getInt(0)
+    // Sum of chunk sizes = n + 10 * (#chunks - 1) (each overlap counted twice)
+    val total = doc0.map(_.getAs[Int]("n_words")).sum
+    assert(total == nWords + 10 * (doc0.length - 1))
+  }
+
+  test("embed_norm: unit-norm fixture vectors have norm_sq ~ 1") {
+    val bad = q("q_llm_embed_norm")
+      .where(abs(col("norm_sq") - 1.0) > 0.01).count()
+    assert(bad == 0)
+  }
 
   private lazy val nEvents = Tables.events(spark, sf).count()
 
