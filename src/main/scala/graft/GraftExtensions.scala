@@ -23,11 +23,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Builder with arity validation: wrong-arity SQL calls get a clean
+    * AnalysisException (standard WRONG_NUM_ARGS error class, as built-in
+    * functions raise) instead of an IndexOutOfBoundsException. */
+  private[graft] def buildLongArrayDot(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`long_array_dot`",
+          "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    LongArrayDot(children.head, children(1))
+  }
+
   private[graft] val longArrayDotDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("long_array_dot"),
     new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
-    (children: Seq[Expression]) => LongArrayDot(children(0), children(1))
+    buildLongArrayDot(_)
   )
 
   /** The recommended session for this engine: cluster-honest shuffle
@@ -40,6 +55,9 @@ object GraftExtensions {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // ns-timestamp parquet (events.ts) is read as LongType nanos by
+      // design; set once here, not as a loader side effect (see Tables).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft")
@@ -47,7 +65,7 @@ object GraftExtensions {
     // getOrCreate may return a pre-existing session where the extensions
     // never ran — re-register the functions idempotently.
     org.apache.spark.sql.graftbridge.ColumnBridge.registerTempFunction(
-      s, "long_array_dot", exprs => LongArrayDot(exprs(0), exprs(1)))
+      s, "long_array_dot", buildLongArrayDot(_))
     s
   }
 }

@@ -10,6 +10,7 @@ object Smoke {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,7 +23,6 @@ object Smoke {
     // driven incrementally from a file stream of the events table.
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     val sf = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -37,14 +37,17 @@ object Tables {
     * so `/` would corrupt values) down to µs. The DuckDB oracle mirrors
     * the same truncation with `ts::TIMESTAMP` (§2.13 rule 3).
     *
-    * KNOWN TRADE-OFF: the legacy conf is session-wide (Spark offers no
-    * per-read option for it), so after this call every parquet read in
-    * the session maps ns-timestamps to LongType instead of erroring.
-    * All engine code routes ns columns through this method; external
-    * callers sharing the session should do the same.
+    * The conf is session-wide and Spark offers no per-read option for it,
+    * so it is set ONCE at session construction (GraftExtensions.session,
+    * Verify, Bench, the test harness) rather than mutated here as a loader
+    * side effect — a session without it fails loudly on the ns column
+    * ([PARQUET_TYPE_ILLEGAL]) instead of other reads being silently
+    * retyped mid-session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
+        "(see GraftExtensions.session) before reading the ns-timestamped events table")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -38,7 +38,11 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Ragged inputs are an upstream bug; a truncated partial dot product
+    // would look plausible and hide it. Fail loudly instead.
+    if (x.numElements() != y.numElements())
+      throw LongArrayDot.dimMismatch(x.numElements(), y.numElements())
+    val n = x.numElements()
     var i = 0
     var sum = 0L
     while (i < n) {
@@ -57,7 +61,11 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw graft.functions.LongArrayDot.dimMismatch(
+         |    $a.numElements(), $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
@@ -77,4 +85,10 @@ object LongArrayDot {
   def longDot(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Shared by eval and generated code (must be public + Java-callable). */
+  def dimMismatch(na: Int, nb: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"long_array_dot: dimension mismatch ($na vs $nb elements); " +
+        "inputs must be equal-length vectors")
 }
