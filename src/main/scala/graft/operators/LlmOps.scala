@@ -76,6 +76,32 @@ object LlmOps {
     """SUM(CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT) *
            CAST(round(CAST(qe[i] AS DOUBLE) * 1000000) AS BIGINT))"""
 
+  /** UNSORTED near-dup pairs (3-gram shingle Jaccard >= 0.6) — shared by
+    * q_llm_dedup_near (which adds the presentation sort) and
+    * q_llm_dedup_keep (which only anti-joins on doc_b and must not pay
+    * for a sort that the join immediately destroys). */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val rows = shingleRows(s, d)
+    // Join on a 64-bit hash of the shingle, not the string: ~8× smaller
+    // shuffle payload and primitive-long join keys. Collisions are
+    // ~|shingles|²/2⁶⁴ — immaterial even at 100 TB corpus scale.
+    val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val cnt = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   // ---- declared queries -------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -90,28 +116,8 @@ object LlmOps {
     // Near-dup pairs: exact 3-gram shingle Jaccard >= 0.6. The planted
     // pairs sit at >= 0.89 with background <= ~0.1 (FIXTURES.md), so any
     // mid threshold isolates exactly the planted structure.
-    "q_llm_dedup_near" -> ((s, d) => {
-      val rows = shingleRows(s, d)
-      // Join on a 64-bit hash of the shingle, not the string: ~8× smaller
-      // shuffle payload and primitive-long join keys. Collisions are
-      // ~|shingles|²/2⁶⁴ — immaterial even at 100 TB corpus scale.
-      val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      val cnt = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val pairs = ex.as("a")
-        .join(ex.as("b"), col("a.s") === col("b.s")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
-          col("nb"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_llm_dedup_near" -> ((s, d) =>
+      nearDupPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup pairs (exact baseline of the LSH path).
     "q_llm_dedup_embed" -> ((s, d) => {
@@ -160,7 +166,7 @@ object LlmOps {
     // near-dup pair (greedy keep-lowest canonicalization — the "write the
     // cleaned corpus" step of a dedup pipeline).
     "q_llm_dedup_keep" -> ((s, d) => {
-      val drop = queries("q_llm_dedup_near")(s, d)
+      val drop = nearDupPairs(s, d)
         .select(col("doc_b").as("doc_id")).distinct()
       Tables.documents(s, d)
         .join(drop, Seq("doc_id"), "left_anti")
