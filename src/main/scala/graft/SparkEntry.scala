@@ -24,7 +24,8 @@ object SparkEntry {
     (LlmSketches.queries, LlmSketches.oracle),
     (Misc.queries, Misc.oracle),
     (Multimodal.queries, Multimodal.oracle),
-    (Extras.queries, Extras.oracle)
+    (Extras.queries, Extras.oracle),
+    (Extras2.queries, Extras2.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-2 coverage: argmax/argmin, boolean + bitwise aggregates, map
+  * construction/transformation, unpivot (wide→long reshape), hash and
+  * binary-encoding families, bounded cross join, approximate percentiles,
+  * and the bucketized range join (the scale path for interval joins).
+  *
+  * Determinism decisions (SURVEY §2.13):
+  *  - max_by/min_by ties are pinned by making the "by" value a struct that
+  *    ends in the selected key itself — equal tuples then imply an equal
+  *    result, so the query is total-order-safe in any engine.
+  *  - hex output is lowercased on both sides (Spark hex() is uppercase,
+  *    DuckDB's is lowercase).
+  *  - the map/unpivot oracles compute the same SCALARS directly — DuckDB
+  *    lacks transform_values/map_filter; the contract is value equality,
+  *    not API mirroring.
+  */
+object Extras2 {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One-hour bucket width in microseconds for the range-bucketed join. */
+  private val HourUs = 3600000000L
+
+  val queries: Map[String, Q] = Map(
+    // argmax/argmin: per return flag, the orderkey of the most/least
+    // expensive line item. Tie-pinning: the ordering tuple ends in
+    // l_orderkey, so tied tuples select the same key by construction.
+    "q_agg_argmax" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey"))).as("top_order"),
+          min_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey"))).as("bottom_order"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Boolean aggregates (every/any over grouped predicates).
+    "q_agg_bool" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(bool_and(col("o_totalprice") > 10000).as("all_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_finished"),
+          bool_and(col("o_custkey") >= 0).as("all_nonneg"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // Bitwise aggregates over integer keys (AND/OR/XOR fold — order-free).
+    "q_agg_bitagg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("event_id")).as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Map construction + transformation surface: map_from_arrays,
+    // map_concat, transform_values, map_filter, map_keys — projected back
+    // to scalars so the result hashes identically cross-engine.
+    "q_fn_map2" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("ev"), lit("usr")),
+        array(col("event_id"), col("user_id")))
+      val mc = map_concat(m, map(lit("sum"), col("event_id") + col("user_id")))
+      val doubled = transform_values(mc, (_, v) => v * 2)
+      val evenKeys = map_filter(mc, (_, v) => v % 2 === 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          element_at(mc, "ev").as("m_ev"),
+          element_at(mc, "usr").as("m_usr"),
+          element_at(mc, "sum").as("m_sum"),
+          element_at(doubled, "sum").as("m_sum2"),
+          concat_ws(",", array_sort(map_keys(evenKeys))).as("even_keys"),
+          size(mc).cast("int").as("m_size"))
+        .orderBy("event_id")
+    }),
+
+    // Wide→long reshape: unpivot two part measures into (key, value) rows.
+    "q_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "k", "v")
+        .orderBy("p_partkey", "k")),
+
+    // Hash-function family: md5, sha2-256, and the engine's portable
+    // 60-bit text hash (first 15 md5 hex chars as an integer).
+    "q_fn_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("long")
+            .as("h_lang60"),
+          length(sha2(col("text"), 256)).cast("int").as("hex_len"))
+        .orderBy("doc_id")),
+
+    // Binary encode/decode family: utf-8 encode, base64 round-trip, hex.
+    // hex() case differs across engines — lowercased on both sides.
+    "q_fn_encode" -> ((s, d) => {
+      val head = encode(substring(col("text"), 1, 24), "utf-8")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          base64(head).as("b64"),
+          decode(unbase64(base64(head)), "utf-8").as("roundtrip"),
+          lower(hex(encode(col("lang"), "utf-8"))).as("lang_hex"),
+          decode(unhex(lower(hex(encode(col("lang"), "utf-8")))), "utf-8")
+            .as("lang_back"),
+          lower(hex(col("doc_id"))).as("id_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // Bounded cross join (cartesian of the two smallest dims, 25×5 rows).
+    "q_join_cross" -> ((s, d) =>
+      Tables.nation(s, d).crossJoin(Tables.region(s, d))
+        .select(col("n_nationkey"), col("n_name"), col("r_regionkey"),
+          col("r_name"))
+        .orderBy("n_nationkey", "r_regionkey")),
+
+    // Approximate percentiles (t-digest-style sketch) — no DuckDB oracle
+    // (estimator differs by design); the exact companion is
+    // q_agg_percentile. Rows-only check, like q_agg_approx_distinct.
+    "q_agg_percentile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("med_approx"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+            .as("p90_approx"))
+        .orderBy("l_returnflag")),
+
+    // Range join via time-bucketing — the 100 TB scale path for pure
+    // range predicates: each probe interval [t, t+1h) covers at most two
+    // 1h buckets, so exploding the probe side into its two candidate
+    // buckets turns the O(n·m) nested loop into ONE equi-shuffle join,
+    // with the exact range predicate re-checked on the candidates.
+    // (q_join_interval keeps the declarative theta form; this is the
+    // partitioning contract an interval index provides at scale.)
+    "q_join_range_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), tsUs(col("ts")).as("us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("us").as("pus"),
+          explode(array(expr(s"us div $HourUs"),
+            expr(s"us div $HourUs") + 1)).as("bkt"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("eid"), col("us").as("eus"),
+          expr(s"us div $HourUs").as("bkt"))
+      purchases.join(errors, Seq("bkt"))
+        .where(col("eus") >= col("pus") && col("eus") < col("pus") + HourUs)
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_errors"), min(col("eid")).as("first_error"))
+        .orderBy("pid")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // max_by((price, key)) == "price DESC, key DESC, take first";
+    // min_by == "price ASC, key ASC, take first".
+    "q_agg_argmax" ->
+      """WITH mx AS (SELECT l_returnflag, l_orderkey,
+                            row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rn
+                     FROM lineitem),
+            mn AS (SELECT l_returnflag, l_orderkey,
+                          row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rn
+                   FROM lineitem),
+            agg AS (SELECT l_returnflag, MAX(l_extendedprice) AS max_price,
+                           MIN(l_extendedprice) AS min_price, COUNT(*) AS n
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT agg.l_returnflag,
+                mx.l_orderkey AS top_order,
+                mn.l_orderkey AS bottom_order,
+                agg.max_price, agg.min_price, agg.n
+         FROM agg
+         JOIN mx ON mx.l_returnflag = agg.l_returnflag AND mx.rn = 1
+         JOIN mn ON mn.l_returnflag = agg.l_returnflag AND mn.rn = 1
+         ORDER BY agg.l_returnflag""",
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice > 10000) AS all_big,
+                bool_or(o_orderstatus = 'F') AS any_finished,
+                bool_and(o_custkey >= 0) AS all_nonneg,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_bitagg" ->
+      """SELECT event_type,
+                bit_and(user_id) AS band,
+                bit_or(user_id) AS bor,
+                bit_xor(event_id) AS bxor,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Scalar-equivalent oracle (DuckDB has no transform_values/map_filter;
+    // the contract is value equality).
+    "q_fn_map2" ->
+      """SELECT event_id,
+                event_id AS m_ev,
+                user_id AS m_usr,
+                event_id + user_id AS m_sum,
+                (event_id + user_id) * 2 AS m_sum2,
+                array_to_string(list_sort(
+                  list_filter(['ev', 'usr', 'sum'], k ->
+                    CASE k WHEN 'ev' THEN event_id
+                           WHEN 'usr' THEN user_id
+                           ELSE event_id + user_id END % 2 = 0)), ',')
+                  AS even_keys,
+                3 AS m_size
+         FROM events ORDER BY event_id""",
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part
+         UNION ALL
+         SELECT p_partkey, 'retail' AS k, p_retailprice AS v FROM part
+         ORDER BY p_partkey, k""",
+    "q_fn_hash" ->
+      """SELECT doc_id,
+                md5(text) AS h_md5,
+                sha256(text) AS h_sha256,
+                CAST(('0x' || substr(md5(lang), 1, 15)) AS BIGINT) AS h_lang60,
+                CAST(length(sha256(text)) AS INT) AS hex_len
+         FROM documents ORDER BY doc_id""",
+    "q_fn_encode" ->
+      """SELECT doc_id,
+                base64(encode(substr(text, 1, 24))) AS b64,
+                decode(from_base64(base64(encode(substr(text, 1, 24)))))
+                  AS roundtrip,
+                lower(hex(lang)) AS lang_hex,
+                decode(unhex(lower(hex(lang)))) AS lang_back,
+                lower(to_hex(doc_id)) AS id_hex
+         FROM documents ORDER BY doc_id""",
+    "q_join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+         FROM nation CROSS JOIN region
+         ORDER BY n_nationkey, r_regionkey""",
+    // The oracle states the PLAIN range join — the bucketing is an
+    // execution strategy, not a semantic change.
+    "q_join_range_bucketed" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           epoch_us(ts::TIMESTAMP) AS us FROM events),
+            p AS (SELECT event_id AS pid, us AS pus FROM e
+                  WHERE event_type = 'purchase'),
+            x AS (SELECT event_id AS eid, us AS eus FROM e
+                  WHERE event_type = 'error')
+         SELECT pid, COUNT(*) AS n_errors, MIN(eid) AS first_error
+         FROM p JOIN x ON eus >= pus AND eus < pus + 3600000000
+         GROUP BY pid ORDER BY pid"""
+  )
+}

@@ -27,6 +27,15 @@ object LlmSketches {
   private def md5long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of md5long for CONSTANT codebooks (LSH hyperplanes):
+    * first 15 md5 hex chars as a 60-bit integer — identical to the SQL
+    * formula in both engines, so plan constants match the oracle's. */
+  private def md5Long15(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(dig.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   private def words(c: Column): Column = split(c, " ")
 
   private def q6v(c: Column): Column =
@@ -135,6 +144,35 @@ object LlmSketches {
         .limit(5)
     }),
 
+    // Random-hyperplane LSH ANN: 4 fixed portable hyperplanes give a
+    // 16-bucket sign signature; search probes the query's bucket plus all
+    // buckets at Hamming distance 1 (standard multi-probe LSH, so a near
+    // neighbor on the wrong side of ONE plane is still found). At scale
+    // the bucket is a shuffle/partition key — each probe touches ~5/16 of
+    // the corpus here, and 2^k/k-th at larger k. Hyperplane components
+    // are md5-derived integers, bit-identical in both engines.
+    "q_llm_ann_lsh" -> ((s, d) => {
+      val planes: Seq[Column] = (0 until 4).map { j =>
+        typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
+      }
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
+      val bucket = (0 until 4).map(j =>
+        when(longDot(col("qe"), planes(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val bucketed = emb.withColumn("bkt", bucket)
+      val probes = bucketed.where(col("vec_id") === 0)
+        .select(col("qe").as("qv"),
+          explode(array(Seq(0, 1, 2, 4, 8).map(m =>
+            col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
+      bucketed.where(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bkt") === col("pb"))
+        .select(col("vec_id"), col("bkt"),
+          (longDot(col("qe"), col("qv")).cast("double") / 1e12).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // HLL approximate distinct — no DuckDB oracle (estimator differs);
     // rows-only check. The exact companion is q_agg_distinct.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -190,6 +228,37 @@ object LlmSketches {
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_minhash" -> minhashOracle,
+    "q_llm_ann_lsh" ->
+      """WITH qv AS (SELECT vec_id,
+                            list_transform(embedding, x ->
+                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                     FROM embeddings),
+            pl AS (SELECT j, i,
+                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
+                               AS BIGINT) % 2001 - 1000 AS hv
+                   FROM generate_series(0, 3) g(j), generate_series(0, 63) h(i)),
+            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
+                     FROM qv, pl GROUP BY vec_id, j),
+            bk AS (SELECT vec_id,
+                          CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                               AS INT) AS bkt
+                   FROM dots GROUP BY vec_id),
+            qb AS (SELECT bkt AS qbkt FROM bk WHERE vec_id = 0),
+            pr AS (SELECT CAST(xor(qbkt, m) AS INT) AS pb
+                   FROM qb, unnest([0, 1, 2, 4, 8]) u(m)),
+            cand AS (SELECT b.vec_id, b.bkt FROM bk b
+                     JOIN pr ON b.bkt = pr.pb
+                     WHERE b.vec_id <> 0),
+            p AS (SELECT c.vec_id, c.bkt, v.qe AS e, q0.qe AS q0e
+                  FROM cand c
+                  JOIN qv v ON v.vec_id = c.vec_id,
+                  (SELECT qe FROM qv WHERE vec_id = 0) q0(qe)),
+            pu AS (SELECT vec_id, bkt, e, q0e,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT vec_id, bkt, SUM(e[i] * q0e[i]) AS dot
+                   FROM pu GROUP BY vec_id, bkt)
+         SELECT vec_id, bkt, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
+         ORDER BY score DESC, vec_id LIMIT 5""",
     "q_llm_simhash" ->
       """WITH wh AS (SELECT doc_id,
                             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h

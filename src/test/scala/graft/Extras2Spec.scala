@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Extras2Spec extends QuerySuiteBase {
+  Seq("q_agg_argmax", "q_agg_bool", "q_agg_bitagg", "q_fn_map2",
+    "q_unpivot", "q_fn_hash", "q_fn_encode", "q_join_cross",
+    "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh")
+    .foreach(checkDeclared(_))
+
+  test("argmax: the selected orderkey really carries the group max price") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag").as("flag"),
+        col("l_extendedprice"))
+    val am = q("q_agg_argmax")
+    val bad = am.join(li,
+        am("top_order") === li("l_orderkey") && am("l_returnflag") === li("flag"))
+      .groupBy(col("top_order"), col("max_price"))
+      .agg(max(col("l_extendedprice")).as("seen"))
+      .where(col("seen") =!= col("max_price")).count()
+    assert(bad == 0)
+  }
+
+  test("unpivot doubles the row count and loses no keys") {
+    val parts = Tables.part(spark, sf).count()
+    val up = q("q_unpivot")
+    assert(up.count() == 2 * parts)
+    assert(up.select("p_partkey").distinct().count() == parts)
+  }
+
+  test("encode: base64/hex round-trips reproduce the source text") {
+    val bad = q("q_fn_encode").join(
+        Tables.documents(spark, sf)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("head"),
+            col("lang")),
+        "doc_id")
+      .where(col("roundtrip") =!= col("head")
+        || col("lang_back") =!= col("lang")).count()
+    assert(bad == 0)
+  }
+
+  test("range-bucketed join equals the plain theta-range join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), Det.tsUs(col("ts")).as("us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("us").as("pus"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("us").as("eus"))
+    val theta = p.join(e,
+        col("eus") >= col("pus") && col("eus") < col("pus") + 3600000000L)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_errors"), min(col("eid")).as("first_error"))
+    val got = fingerprintOf(q("q_join_range_bucketed"))
+    val want = fingerprintOf(theta.orderBy("pid"))
+    assert(got == want, "bucketized plan must not change join semantics")
+  }
+
+  test("LSH ANN: 5 rows, descending scores, query's own vector excluded") {
+    val rows = q("q_llm_ann_lsh").collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
+  test("LSH ANN results are a subset of the exact top-k candidate scores") {
+    // Every LSH hit must appear in the exact brute-force ranking with the
+    // SAME score (the sketch prunes candidates; it must not alter scores).
+    val exact = q("q_llm_sim_topk").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    q("q_llm_ann_lsh").collect().foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      exact.get(v).foreach(s => assert(s == r.getAs[Double]("score")))
+    }
+  }
+
+  private def fingerprintOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+}
