@@ -141,6 +141,60 @@ object Extras2 {
             .as("p90_approx"))
         .orderBy("l_returnflag")),
 
+    // Correlation / covariance from EXACT decimal moments (Σx, Σy, Σxy,
+    // Σx², Σy²) with one shared double formula — same rationale as
+    // q_agg_stats: the built-in corr/covar aggregates are merge-order-
+    // dependent and not oracle-safe.
+    "q_agg_corr" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("n") - 1), 6).as("covar_samp"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-label embedding centroid — the "average the vectors per class"
+    // step of a training pipeline, as a DISTRIBUTED elementwise mean:
+    // posexplode to (label, dim, component), exact integer sums of the
+    // quantized components, one shared division at the end. No vector is
+    // ever collected; the shuffle key is (label, dim) so a 100 TB corpus
+    // aggregates with ordinary partial+final hash aggregation.
+    "q_llm_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long"))))
+        .groupBy(col("label"), (col("pos") + 1).as("i"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("col")).cast("double") / 1e6 / count(lit(1)), 6)
+            .as("centroid"))
+        .orderBy("label", "i")),
+
+    // Character/formatting family: ascii, chr, printf-style formatting,
+    // left/right substrings.
+    "q_fn_char" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ascii(col("lang")).cast("int").as("lang_ascii"),
+          chr((col("doc_id") % 26) + 97).as("id_chr"),
+          format_string("%s-%05d", col("lang"), col("doc_id")).as("tag"),
+          expr("left(text, 8)").as("l8"),
+          expr("right(lang, 2)").as("r2"))
+        .orderBy("doc_id")),
+
     // Range join via time-bucketing — the 100 TB scale path for pure
     // range predicates: each probe interval [t, t+1h) covers at most two
     // 1h buckets, so exploding the probe side into its two candidate
@@ -244,6 +298,40 @@ object Extras2 {
       """SELECT n_nationkey, n_name, r_regionkey, r_name
          FROM nation CROSS JOIN region
          ORDER BY n_nationkey, r_regionkey""",
+    "q_agg_corr" ->
+      """WITH t AS (SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+                round((sxy - sx * sy / n)
+                      / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+         FROM t ORDER BY l_returnflag""",
+    "q_llm_centroid" ->
+      """WITH q AS (SELECT label,
+                           list_transform(embedding, x ->
+                             CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                    FROM embeddings),
+            u AS (SELECT label, qe,
+                         unnest(generate_series(1, len(qe))) AS i FROM q)
+         SELECT label, CAST(i AS INT) AS i, COUNT(*) AS n_vecs,
+                round(CAST(SUM(qe[i]) AS DOUBLE) / 1e6 / COUNT(*), 6) AS centroid
+         FROM u GROUP BY label, i ORDER BY label, i""",
+    "q_fn_char" ->
+      """SELECT doc_id,
+                ascii(lang) AS lang_ascii,
+                chr(CAST(doc_id % 26 + 97 AS INT)) AS id_chr,
+                printf('%s-%05d', lang, doc_id) AS tag,
+                left(text, 8) AS l8,
+                right(lang, 2) AS r2
+         FROM documents ORDER BY doc_id""",
     // The oracle states the PLAIN range join — the bucketing is an
     // execution strategy, not a semantic change.
     "q_join_range_bucketed" ->

@@ -108,4 +108,24 @@ object StreamOps {
     events.join(customer, events("user_id") === customer("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
+
+  /** Stream-stream interval self-join: each purchase matched to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks and
+    * the join has a time-range bound, so Spark can expire buffered state —
+    * the requirements for a state-bounded stream-stream join at scale. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour 10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("c_id"), col("p_ts"), col("c_ts"))
+  }
 }

@@ -5,8 +5,22 @@ import org.apache.spark.sql.functions._
 class Extras2Spec extends QuerySuiteBase {
   Seq("q_agg_argmax", "q_agg_bool", "q_agg_bitagg", "q_fn_map2",
     "q_unpivot", "q_fn_hash", "q_fn_encode", "q_join_cross",
-    "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh")
+    "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
+    "q_agg_corr", "q_llm_centroid", "q_fn_char")
     .foreach(checkDeclared(_))
+
+  test("centroid: every label yields exactly dim=64 components") {
+    val perLabel = q("q_llm_centroid").groupBy("label").count().collect()
+    assert(perLabel.nonEmpty)
+    assert(perLabel.forall(_.getAs[Long]("count") == 64))
+  }
+
+  test("corr is within [-1, 1] and covar matches corr's sign") {
+    val rows = q("q_agg_corr").collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("corr")) <= 1.000001))
+    assert(rows.forall(r =>
+      r.getAs[Double]("corr").sign == r.getAs[Double]("covar_samp").sign))
+  }
 
   test("argmax: the selected orderkey really carries the group max price") {
     val li = Tables.lineitem(spark, sf)

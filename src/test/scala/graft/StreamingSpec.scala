@@ -116,6 +116,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
   }
 
+  test("stream-stream join pairs purchases with preceding same-user clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.purchaseClickJoin(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    in.addData(
+      ev(0, 10, uid = 1, typ = "click"),
+      ev(1, 30, uid = 2, typ = "click"),
+      ev(3, 59, uid = 1, typ = "click"))
+    q.processAllAvailable()
+    in.addData(ev(2, 60, uid = 1, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(sink).orderBy("c_id").collect()
+    // user 1's purchase at min 60 matches that user's clicks at 10 and 59;
+    // user 2's click never joins.
+    assert(rows.map(_.getAs[Long]("c_id")).toSeq == Seq(0L, 3L))
+    assert(rows.forall(_.getAs[Long]("p_id") == 2L))
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
