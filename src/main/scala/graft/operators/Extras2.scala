@@ -195,6 +195,29 @@ object Extras2 {
           expr("right(lang, 2)").as("r2"))
         .orderBy("doc_id")),
 
+    // Manual skew salting: the fact side salts each row by a hash of its
+    // full key, the build side replicates across all salts, and the join
+    // key becomes (key, salt) — splitting one hot key over `salts`
+    // reducers. AQE's skew-join split covers most batch cases; the manual
+    // contract still matters where AQE can't re-plan (stream-stream
+    // joins, fixed-partitioning pipelines), so it is declared with an
+    // oracle proving the rewrite is semantics-preserving.
+    "q_join_salted" -> ((s, d) => {
+      val salts = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+            .as("salt"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      li.join(ord,
+          col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Range join via time-bucketing — the 100 TB scale path for pure
     // range predicates: each probe interval [t, t+1h) covers at most two
     // 1h buckets, so exploding the probe side into its two candidate
@@ -332,6 +355,12 @@ object Extras2 {
                 left(text, 8) AS l8,
                 right(lang, 2) AS r2
          FROM documents ORDER BY doc_id""",
+    // The oracle states the PLAIN join — salting is an execution strategy.
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // The oracle states the PLAIN range join — the bucketing is an
     // execution strategy, not a semantic change.
     "q_join_range_bucketed" ->

@@ -6,8 +6,19 @@ class Extras2Spec extends QuerySuiteBase {
   Seq("q_agg_argmax", "q_agg_bool", "q_agg_bitagg", "q_fn_map2",
     "q_unpivot", "q_fn_hash", "q_fn_encode", "q_join_cross",
     "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
-    "q_agg_corr", "q_llm_centroid", "q_fn_char")
+    "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted")
     .foreach(checkDeclared(_))
+
+  test("salted join equals the plain join (salting is semantics-free)") {
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        Det.dsum(col("l_extendedprice")).as("rev"))
+      .orderBy("o_orderpriority")
+    assert(q("q_join_salted").collect().map(_.toString).toSeq
+      == plain.collect().map(_.toString).toSeq)
+  }
 
   test("centroid: every label yields exactly dim=64 components") {
     val perLabel = q("q_llm_centroid").groupBy("label").count().collect()
