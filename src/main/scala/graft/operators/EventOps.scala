@@ -56,6 +56,41 @@ object EventOps {
         .orderBy("user_id", "sid")
     }),
 
+    // Gap-fill / resample: replay each user's value series on a fixed
+    // 1-hour grid with forward fill (last observation carried forward) —
+    // the "read the stream at a cadence" idiom of an event store. Shape:
+    // dedupe to one value per (user, ts) with a pinned tie rule, generate
+    // the per-user grid, union grid markers into the event stream, and
+    // take running last(ignoreNulls) over ONE user_id shuffle — the same
+    // linear as-of pass as q_join_asof, no range join, no O(n·m).
+    "q_ts_resample" -> ((s, d) => {
+      val H = 3600000000L // 1 hour in µs
+      val ev = Tables.events(s, d).where(col("user_id") < 5)
+        .select(col("user_id"), tsUs(col("ts")).as("us"),
+          col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("us"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min("us").as("mn"), max("us").as("mx"))
+        .select(col("user_id"),
+          explode(sequence(expr(s"(mn + ${H - 1}) div $H"),
+            expr(s"mx div $H"))).as("hb"))
+        .select(col("user_id"), (col("hb") * H).as("us"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+      val markers = ev.select(col("user_id"), col("us"), col("v"),
+          lit(0).as("is_grid"))
+        .unionByName(grid)
+      // Events sort before grid markers at the same instant, so a reading
+      // exactly on the grid is included — DuckDB ASOF (>=) semantics.
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      markers
+        .withColumn("ff", last(col("v"), ignoreNulls = true).over(w))
+        .where(col("is_grid") === 1)
+        .select(col("user_id"), col("us").as("grid_us"), col("ff").as("value_ff"))
+        .orderBy("user_id", "grid_us")
+    }),
+
     // Keyed dedup keeping the first event per (user, type) — batch twin
     // of dropDuplicatesWithinWatermark.
     "q_stream_dedup_first" -> ((s, d) => {
@@ -102,6 +137,22 @@ object EventOps {
                 epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n,
                 CAST(SUM(v) AS DOUBLE) AS sum_v
          FROM s GROUP BY user_id, sid ORDER BY user_id, sid""",
+    "q_ts_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+                           max_by(value, event_id) AS v
+                    FROM events WHERE user_id < 5
+                    GROUP BY user_id, epoch_us(ts::TIMESTAMP)),
+            b AS (SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
+                  FROM e GROUP BY user_id),
+            g AS (SELECT user_id,
+                         unnest(generate_series((mn + 3599999999) // 3600000000,
+                                                mx // 3600000000)) AS hb
+                  FROM b),
+            grid AS (SELECT user_id, hb * 3600000000 AS gus FROM g)
+         SELECT grid.user_id AS user_id, gus AS grid_us, e.v AS value_ff
+         FROM grid ASOF JOIN e
+           ON grid.user_id = e.user_id AND grid.gus >= e.us
+         ORDER BY grid.user_id, grid_us""",
     "q_stream_dedup_first" ->
       """WITH r AS (SELECT user_id, event_type, event_id,
                            epoch_us(ts::TIMESTAMP) AS ts_us,

@@ -9,7 +9,26 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_text_tokens", "q_llm_tfidf", "q_llm_text_stats",
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
     "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
-    "q_llm_embed_norm").foreach(checkDeclared(_))
+    "q_llm_embed_norm", "q_ts_resample").foreach(checkDeclared(_))
+
+  test("resample: hourly grid is contiguous, forward-filled, never null") {
+    import org.apache.spark.sql.expressions.Window
+    val rs = q("q_ts_resample")
+    assert(rs.where(col("value_ff").isNull).count() == 0)
+    val w = Window.partitionBy("user_id").orderBy("grid_us")
+    val gaps = rs.withColumn("prev", lag(col("grid_us"), 1).over(w))
+      .where(col("prev").isNotNull
+        && col("grid_us") - col("prev") =!= 3600000000L).count()
+    assert(gaps == 0, "grid must step in exact 1-hour increments")
+    // Spot-check the forward-fill rule for one user: the first grid value
+    // equals the value of the latest event at or before that grid point.
+    val first = rs.where(col("user_id") === 0).orderBy("grid_us").head()
+    val expected = Tables.events(spark, sf).where(col("user_id") === 0)
+      .where(Det.tsUs(col("ts")) <= first.getAs[Long]("grid_us"))
+      .orderBy(Det.tsUs(col("ts")).desc, col("event_id").desc)
+      .select("value").head().getDouble(0)
+    assert(first.getAs[Double]("value_ff") == expected)
+  }
 
   test("chunking: words are partitioned with exactly 10-word overlaps") {
     val doc0 = q("q_llm_chunk").where(col("doc_id") === 0)
