@@ -203,7 +203,7 @@ object Extras2 {
     // joins, fixed-partitioning pipelines), so it is declared with an
     // oracle proving the rewrite is semantics-preserving.
     "q_join_salted" -> ((s, d) => {
-      val salts = 8
+      val salts = 4
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"),
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))

@@ -62,4 +62,32 @@ class PlanAuditSpec extends QuerySuiteBase {
     assert("Exchange".r.findAllIn(p).size <= 2,
       "grouped agg should shuffle once (plus result ordering)\n" + p)
   }
+
+  test("bucketized range join is an equi join, not a nested loop") {
+    val p = plan("q_join_range_bucketed")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "bucketing must turn the range predicate into an equi join:\n" + p)
+  }
+
+  test("salted join shuffles on the composite (key, salt)") {
+    val p = plan("q_join_salted")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "expected an equi join:\n" + p)
+  }
+
+  test("LSH ANN broadcasts the probe buckets and keeps the codegen kernel") {
+    val df = q("q_llm_ann_lsh")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "probe side must broadcast, corpus side must not shuffle:\n" + p)
+    assert(p.contains("long_array_dot"), "scoring must use the codegen kernel")
+  }
+
+  test("centroid aggregates partially before the (label, dim) shuffle") {
+    val p = plan("q_llm_centroid")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair:\n" + p)
+  }
 }
