@@ -195,6 +195,48 @@ object Extras2 {
           expr("right(lang, 2)").as("r2"))
         .orderBy("doc_id")),
 
+    // SQL-string entry point: the same Catalyst pipeline from the ANTLR
+    // parser onward (§3.2 lifecycle 2) — a TPC-H Q3-shaped revenue query
+    // submitted as TEXT over temp views, not the DataFrame DSL.
+    "q_sql_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+               o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    }),
+
+    // Array set-operation family — scalarized for cross-engine hashing.
+    "q_fn_array2" -> ((s, d) => {
+      val a1 = array(col("user_id"), col("event_id") % 10, lit(7L))
+      val a2 = array(lit(7L), col("user_id") + 1)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          concat_ws(",", array_sort(array_union(a1, a2))).as("a_union"),
+          concat_ws(",", array_sort(array_intersect(a1, a2))).as("a_inter"),
+          concat_ws(",", array_sort(array_except(a1, a2))).as("a_except"),
+          array_position(a1, 7L).as("pos7"),
+          size(flatten(array(a1, a2))).cast("int").as("n_flat"),
+          array_max(a1).as("amax"),
+          array_min(a1).as("amin"))
+        .orderBy("event_id")
+    }),
+
     // Manual skew salting: the fact side salts each row by a hash of its
     // full key, the build side replicates across all salts, and the join
     // key becomes (key, salt) — splitting one hot key over `salts`
@@ -355,6 +397,40 @@ object Extras2 {
                 left(text, 8) AS l8,
                 right(lang, 2) AS r2
          FROM documents ORDER BY doc_id""",
+    "q_sql_q3" ->
+      """SELECT l_orderkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+                o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q_fn_array2" ->
+      """WITH t AS (SELECT event_id,
+                           [user_id, event_id % 10, 7] AS a1,
+                           [7, user_id + 1] AS a2
+                    FROM events)
+         SELECT event_id,
+                coalesce(array_to_string(list_sort(list_distinct(
+                    list_concat(a1, a2))), ','), '') AS a_union,
+                coalesce(array_to_string(list_sort(list_filter(list_distinct(a1),
+                  x -> list_contains(a2, x))), ','), '') AS a_inter,
+                coalesce(array_to_string(list_sort(list_filter(list_distinct(a1),
+                  x -> NOT list_contains(a2, x))), ','), '') AS a_except,
+                CAST(list_position(a1, 7) AS BIGINT) AS pos7,
+                CAST(len(flatten([a1, a2])) AS INT) AS n_flat,
+                list_max(a1) AS amax,
+                list_min(a1) AS amin
+         FROM t ORDER BY event_id""",
     // The oracle states the PLAIN join — salting is an execution strategy.
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

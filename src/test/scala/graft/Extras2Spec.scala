@@ -6,8 +6,27 @@ class Extras2Spec extends QuerySuiteBase {
   Seq("q_agg_argmax", "q_agg_bool", "q_agg_bitagg", "q_fn_map2",
     "q_unpivot", "q_fn_hash", "q_fn_encode", "q_join_cross",
     "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
-    "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted")
+    "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted",
+    "q_sql_q3", "q_fn_array2")
     .foreach(checkDeclared(_))
+
+  test("SQL-text Q3 equals the same query built with the DataFrame DSL") {
+    val dsl = Tables.customer(spark, sf)
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(Det.dec(col("l_extendedprice"))
+        * (lit(1).cast(Det.D2) - Det.dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        Det.tsUs(col("o_orderdate")).as("odate_us"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    assert(q("q_sql_q3").collect().map(_.toString).toSeq
+      == dsl.collect().map(_.toString).toSeq)
+  }
 
   test("salted join equals the plain join (salting is semantics-free)") {
     val plain = Tables.lineitem(spark, sf)
