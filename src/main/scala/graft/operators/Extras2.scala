@@ -195,6 +195,20 @@ object Extras2 {
           expr("right(lang, 2)").as("r2"))
         .orderBy("doc_id")),
 
+    // Trigonometric family on bounded inputs, rounded to 6 dp (both
+    // engines compute on identical input doubles; libm vs java.lang.Math
+    // agree within an ulp, far inside the rounding margin).
+    "q_fn_trig" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(sin(col("value")), 6).as("s"),
+          round(cos(col("value")), 6).as("c"),
+          round(tan(col("value") / 10), 6).as("t"),
+          round(atan2(col("value"), lit(2.0)), 6).as("a2"),
+          round(degrees(col("value")), 6).as("deg"),
+          round(radians(col("value")), 6).as("rad"))
+        .orderBy("event_id")),
+
     // SQL-string entry point: the same Catalyst pipeline from the ANTLR
     // parser onward (§3.2 lifecycle 2) — a TPC-H Q3-shaped revenue query
     // submitted as TEXT over temp views, not the DataFrame DSL.
@@ -397,6 +411,15 @@ object Extras2 {
                 left(text, 8) AS l8,
                 right(lang, 2) AS r2
          FROM documents ORDER BY doc_id""",
+    "q_fn_trig" ->
+      """SELECT event_id,
+                round(sin(value), 6) AS s,
+                round(cos(value), 6) AS c,
+                round(tan(value / 10), 6) AS t,
+                round(atan2(value, 2.0), 6) AS a2,
+                round(degrees(value), 6) AS deg,
+                round(radians(value), 6) AS rad
+         FROM events ORDER BY event_id""",
     "q_sql_q3" ->
       """SELECT l_orderkey,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -37,6 +37,30 @@ object Multimodal {
     }
   }
 
+  case class DocFrame(doc_id: Long, frame_idx: Int, frame_off: Int,
+      frame_len: Int, fdigest: String)
+
+  /** Frame-sampling kernel: treat the payload as fixed-size 64-byte
+    * "frames" (the video-frame analog), keep every 4th frame, and emit a
+    * per-frame stub feature (md5 of the frame bytes). The fan-out happens
+    * INSIDE the partition kernel — rows expand to frames without any
+    * shuffle or driver involvement, which is the shape a real
+    * frame-sampler needs at 100 TB. */
+  def framePartition(rows: Iterator[DocPayload]): Iterator[DocFrame] = {
+    val md = MessageDigest.getInstance("MD5")
+    rows.flatMap { p =>
+      val nFrames = (p.payload.length + 63) / 64
+      (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
+        val off = i * 64
+        val len = math.min(64, p.payload.length - off)
+        md.reset()
+        val dg = md.digest(java.util.Arrays.copyOfRange(p.payload, off, off + len))
+          .map("%02x".format(_)).mkString
+        DocFrame(p.doc_id, i, off, len, dg)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q_llm_multimodal_features" -> ((s, d) => {
       import s.implicits._
@@ -46,6 +70,16 @@ object Multimodal {
         .mapPartitions(decodePartition)
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    "q_llm_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[DocPayload]
+        .mapPartitions(framePartition)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -55,6 +89,18 @@ object Multimodal {
                 CAST(octet_length(encode(text)) AS INT) AS payload_len,
                 CAST((octet_length(encode(text)) + 15) // 16 AS INT) AS n_frames,
                 md5(text) AS digest
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // ASCII corpus ⇒ byte slices == character slices, so the frame digest
+    // is md5 of the substring on both sides.
+    "q_llm_frames" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            f AS (SELECT doc_id, text, L,
+                         unnest(generate_series(0, (L + 63) // 64 - 1)) AS i
+                  FROM t)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                CAST(i * 64 AS INT) AS frame_off,
+                CAST(least(64, L - i * 64) AS INT) AS frame_len,
+                md5(substr(text, i * 64 + 1, 64)) AS fdigest
+         FROM f WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"""
   )
 }

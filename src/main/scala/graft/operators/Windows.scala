@@ -48,6 +48,21 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Positional analytics: nth_value over a growing frame, first/last
+    // value over a bounded sliding frame (frame edges exercise the
+    // CURRENT ROW / FOLLOWING bound handling).
+    "q_win_analytic2" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy("event_id")
+      val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val slide = ord.rowsBetween(-1, 1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          nth_value(col("value"), 2).over(grow).as("second_v"),
+          first(col("value")).over(slide).as("win_first"),
+          last(col("value")).over(slide).as("win_last"))
+        .orderBy("event_id")
+    }),
+
     // Running aggregate, ROWS frame (exact decimal running sum).
     "q_win_frame_rows" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -109,6 +124,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_analytic2" ->
+      """SELECT event_id, user_id,
+                nth_value(value, 2) OVER
+                  (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_v,
+                first_value(value) OVER w AS win_first,
+                last_value(value) OVER w AS win_last
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         ORDER BY event_id""",
     "q_win_rank" ->
       """SELECT p_partkey, p_brand, p_size,
          CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS rn,

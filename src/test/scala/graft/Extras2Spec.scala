@@ -7,8 +7,16 @@ class Extras2Spec extends QuerySuiteBase {
     "q_unpivot", "q_fn_hash", "q_fn_encode", "q_join_cross",
     "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
     "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted",
-    "q_sql_q3", "q_fn_array2")
+    "q_sql_q3", "q_fn_array2", "q_fn_trig", "q_win_analytic2",
+    "q_llm_frames")
     .foreach(checkDeclared(_))
+
+  test("frame sampling keeps every 4th frame with correct offsets") {
+    val fr = q("q_llm_frames")
+    assert(fr.where(col("frame_idx") % 4 =!= 0).count() == 0)
+    assert(fr.where(col("frame_off") =!= col("frame_idx") * 64).count() == 0)
+    assert(fr.where(col("frame_len") < 1 || col("frame_len") > 64).count() == 0)
+  }
 
   test("SQL-text Q3 equals the same query built with the DataFrame DSL") {
     val dsl = Tables.customer(spark, sf)
