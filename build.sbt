@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked process's stdout RAW instead of through sbt's logger:
+// the driver parses graft.Bench's single JSON line from stdout, and the
+// logger's "[info] " prefix breaks that parse (BENCH_r01.json recorded
+// "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
