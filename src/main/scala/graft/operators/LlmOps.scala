@@ -174,6 +174,40 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Near-dup CLUSTERS: connected components of the pair graph, each doc
+    // labeled with the smallest doc_id in its component — the transitive
+    // canonicalization a real dedup needs (A~B, B~C ⇒ one cluster even
+    // when A~C was never scored). Distributed iterative min-label
+    // propagation: per round, every node takes the min of its own and its
+    // neighbors' labels; converges in <= diameter rounds. localCheckpoint
+    // truncates the growing lineage each round (the standard Spark
+    // iterative-algorithm idiom); cluster state stays fully distributed.
+    "q_llm_dedup_clusters" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      var labels = edges.select(col("doc_a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      var changed = true
+      while (changed) {
+        val prop = edges
+          .join(labels, edges("doc_a") === labels("id"))
+          .select(col("doc_b").as("id"), col("lbl"))
+        val next = labels.select(col("id"), col("lbl")).unionByName(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .where(col("n.lbl") =!= col("o.lbl"))
+          .limit(1).count() > 0
+        labels = next
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Document chunking: 50-word windows, stride 40 (10-word overlap) —
     // the split-before-tokenize/embed step of a training-data pipeline.
     // Pure slice arithmetic, identical in both engines; chunk count per
@@ -391,6 +425,34 @@ object LlmOps {
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_b FROM dup)
          ORDER BY doc_id""",
+    // Recursive closure over the pair graph: reach(n, l) holds every
+    // component-mate l of n; MIN over it is the component's smallest id.
+    "q_llm_dedup_clusters" ->
+      """WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            nd AS (SELECT doc_a, doc_b FROM pairs
+                   JOIN cnt ca ON ca.doc_id = doc_a
+                   JOIN cnt cb ON cb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.6),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM nd
+                      UNION ALL SELECT doc_b, doc_a FROM nd),
+            reach(n, l) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n)
+         SELECT n AS doc_id, MIN(l) AS cluster_id
+         FROM reach GROUP BY n ORDER BY doc_id""",
     "q_llm_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             x AS (SELECT doc_id, ws,

@@ -9,7 +9,24 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_text_tokens", "q_llm_tfidf", "q_llm_text_stats",
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
     "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
-    "q_llm_embed_norm", "q_ts_resample").foreach(checkDeclared(_))
+    "q_llm_embed_norm", "q_ts_resample", "q_llm_dedup_clusters")
+    .foreach(checkDeclared(_))
+
+  test("dedup clusters: both endpoints of every pair share one cluster") {
+    val cl = q("q_llm_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = q("q_llm_dedup_near").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
+    }
+    // The cluster label is the smallest member (so doc 0's component,
+    // which contains the planted pairs (0,50) and (0,82), is cluster 0
+    // with at least those three members — transitivity, not pairwise).
+    assert(cl.forall { case (id, c) => c <= id })
+    assert(Seq(0L, 50L, 82L).forall(cl.get(_).contains(0L)))
+  }
 
   test("resample: hourly grid is contiguous, forward-filled, never null") {
     import org.apache.spark.sql.expressions.Window
