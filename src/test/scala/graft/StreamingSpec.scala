@@ -137,6 +137,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("p_id") == 2L))
   }
 
+  test("parquet file sink appends each micro-batch durably (with checkpoint)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    in.addData(ev(0, 1), ev(1, 2))
+    q.processAllAvailable()
+    in.addData(ev(2, 3))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 3)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
+  test("foreachBatch sink sees each micro-batch exactly once with its id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$dir/data")
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    in.addData(ev(0, 1), ev(1, 2))
+    q.processAllAvailable()
+    in.addData(ev(2, 3))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 3)
+    assert(back.select("batch_id").distinct().count() == 2)
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
