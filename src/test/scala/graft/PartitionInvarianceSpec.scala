@@ -1,0 +1,26 @@
+package graft
+
+/** The 1000-executor guarantee, as a test: every declared query must
+  * return BIT-IDENTICAL rows in identical order when the shuffle
+  * partition count changes (4 → 7, a count that divides nothing). This
+  * is the property that lets the same code run on local[4] and a large
+  * cluster without result drift — decimal/integer exactness plus total
+  * ordering make results independent of parallelism by construction, and
+  * this spec re-proves it for the WHOLE declared surface on every run. */
+class PartitionInvarianceSpec extends QuerySuiteBase {
+
+  private lazy val other = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    s
+  }
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: identical result at shuffle=4 and shuffle=7") {
+      val base = fingerprint(SparkEntry.queries(name)(spark, sf))
+      val alt = fingerprint(SparkEntry.queries(name)(other, sf))
+      assert(base == alt,
+        s"$name result depends on the shuffle partition count")
+    }
+  }
+}
