@@ -17,8 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Plan cache, keyed per (session, path): a DataFrame is an immutable
+    * plan, so handing the same one to every query (what a catalog does)
+    * avoids re-listing files and re-reading parquet footers on each of
+    * the 100+ declared-query builds. Keyed on the session because a plan
+    * is bound to the session that resolved it. */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    planCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
