@@ -72,6 +72,11 @@ object EventOps {
         .agg(max_by(col("value"), col("event_id")).as("v"))
       val grid = ev.groupBy(col("user_id"))
         .agg(min("us").as("mn"), max("us").as("mx"))
+        // Guard the degenerate span: sequence(a, b) silently DESCENDS when
+        // a > b (a user active within one hour, no boundary crossed) where
+        // DuckDB's generate_series is empty — filter those users out
+        // before exploding so both engines agree.
+        .where(expr(s"(mn + ${H - 1}) div $H") <= expr(s"mx div $H"))
         .select(col("user_id"),
           explode(sequence(expr(s"(mn + ${H - 1}) div $H"),
             expr(s"mx div $H"))).as("hb"))

@@ -22,8 +22,7 @@ object Extras {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def md5long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import Det.md5long
 
   val queries: Map[String, Q] = Map(
     // Distribution window functions (percent_rank/cume_dist — exact

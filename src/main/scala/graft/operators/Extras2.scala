@@ -102,8 +102,7 @@ object Extras2 {
         .select(col("doc_id"),
           md5(col("text")).as("h_md5"),
           sha2(col("text"), 256).as("h_sha256"),
-          conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("long")
-            .as("h_lang60"),
+          md5long(col("lang")).as("h_lang60"),
           length(sha2(col("text"), 256)).cast("int").as("hex_len"))
         .orderBy("doc_id")),
 

@@ -32,9 +32,7 @@ object LlmOps {
 
   // ---- shared building blocks -------------------------------------------
 
-  /** Portable 60-bit text hash (same value in DuckDB via 0x-cast). */
-  private def md5long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import graft.Det.md5long
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -202,8 +200,15 @@ object LlmOps {
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .where(col("n.lbl") =!= col("o.lbl"))
           .limit(1).count() > 0
+        // The superseded round's checkpoint blocks are dead once `changed`
+        // has been evaluated — drop them, or every round of every
+        // invocation accumulates in the block manager for the session's
+        // lifetime. (The FINAL labels stay persisted: the returned plan's
+        // lineage is truncated to those blocks.)
+        labels.unpersist()
         labels = next
       }
+      edges.unpersist()
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -24,8 +24,7 @@ import graft.functions.LongArrayDot.longDot
 object LlmSketches {
   type Q = (SparkSession, String) => DataFrame
 
-  private def md5long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import graft.Det.md5long
 
   /** Driver-side twin of md5long for CONSTANT codebooks (LSH hyperplanes):
     * first 15 md5 hex chars as a 60-bit integer — identical to the SQL

@@ -59,13 +59,15 @@ class SourceSinkSpec extends QuerySuiteBase {
     val expected = Tables.events(spark, sf)
       .where(col("event_type") === "purchase").count()
     assert(purchases.count() == expected)
+    // Non-vacuous pruning evidence: a NON-EMPTY PartitionFilters list
+    // (the metadata line prints even when empty), and — execution-level —
+    // every file actually read lives under the matching partition dir.
     val p = purchases.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("event_type"),
-      "partition filter must reach the file index, not the row scan:\n" + p)
-    // The pruned scan must not list the other partitions' files.
-    val scanned = purchases.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(!scanned.contains("event_type=view"),
-      "scan still lists files from unpruned partitions")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "PartitionFilters is empty — nothing was pushed to the file index:\n" + p)
+    val files = purchases.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=purchase")),
+      s"scan read files outside the pruned partition: ${files.mkString(",")}")
   }
 }

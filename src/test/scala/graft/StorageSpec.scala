@@ -18,9 +18,15 @@ class StorageSpec extends QuerySuiteBase {
       .parquet(dir)
     val back = spark.read.parquet(dir)
       .where(col("event_type") === "purchase" && col("user_id") === 7)
+    // Non-empty PartitionFilters (the line prints even when empty) plus
+    // execution-level proof: only the matching partition's files read.
     val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("event_type"), s"partition pruning missing:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"partition pruning missing:\n$plan")
+    val files = back.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=purchase")),
+      s"scan read files outside the pruned partition: ${files.mkString(",")}")
     val expected = Tables.events(spark, sf)
       .where(col("event_type") === "purchase" && col("user_id") === 7).count()
     assert(back.count() == expected)
