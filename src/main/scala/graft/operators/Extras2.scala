@@ -234,6 +234,55 @@ object Extras2 {
         LIMIT 10""")
     }),
 
+    // TPC-H Q5 shape (local supplier volume): 6-table star join where the
+    // customer and supplier must share a nation — the join-order stress
+    // test; Catalyst/AQE pick the join order, broadcast the dims.
+    "q_sql_q5" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(s"v_$t"))
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    // revenue lost to returns in a quarter-bounded window.
+    "q_sql_q10" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(s"v_$t"))
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               n_name
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
     // Array set-operation family — scalarized for cross-engine hashing.
     "q_fn_array2" -> ((s, d) => {
       val a1 = array(col("user_id"), col("event_id") % 10, lit(7L))
@@ -436,6 +485,40 @@ object Extras2 {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+    "q_sql_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q_sql_q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                n_name
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
     "q_fn_array2" ->
       """WITH t AS (SELECT event_id,
                            [user_id, event_id % 10, 7] AS a1,
