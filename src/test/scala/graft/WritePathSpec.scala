@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.WritePath
+
+/** The reference's Write(entry)->Offset contract on Spark: contiguous,
+  * deterministic, partition-count-independent offsets; appended batches
+  * continue from the tail; readers see an immutable snapshot. */
+class WritePathSpec extends QuerySuiteBase {
+
+  private def eventsDf = Tables.events(spark, sf)
+    .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  test("offsets are contiguous 0..n-1 in the requested total order") {
+    val n = eventsDf.count()
+    val off = WritePath.withOffsets(eventsDf,
+      Seq(col("ts"), col("event_id")), 0L)
+    val offs = off.select("offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L until n).toSeq)
+    // Offset order == requested order: event_id is ts-ordered in the
+    // fixture, so offset order must equal event_id order.
+    val misordered = off
+      .select(col("event_id"), col("offset"))
+      .where(col("event_id") =!= col("offset")).count()
+    assert(misordered == 0,
+      "fixture event_id IS the ts-order rank, offsets must match it")
+  }
+
+  test("offset assignment is independent of the input partition count") {
+    val a = WritePath.withOffsets(eventsDf.repartition(3),
+      Seq(col("ts"), col("event_id")), 100L)
+    val b = WritePath.withOffsets(eventsDf.repartition(11),
+      Seq(col("ts"), col("event_id")), 100L)
+    val fa = a.select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fb = b.select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fa == fb)
+  }
+
+  test("append continues from the tail; readers see a consistent log") {
+    val dir = Files.createTempDirectory("graft-log").toString + "/log"
+    val first = eventsDf.where(col("event_id") < 100)
+    val second = eventsDf.where(col("event_id") >= 100 && col("event_id") < 150)
+    val tail1 = WritePath.append(dir, first, Seq(col("ts"), col("event_id")))
+    assert(tail1 == 100L)
+    val tail2 = WritePath.append(dir, second, Seq(col("ts"), col("event_id")))
+    assert(tail2 == 150L)
+    val log = spark.read.parquet(dir)
+    assert(log.count() == 150)
+    val offs = log.select("offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L until 150L).toSeq)
+    // SearchForward(offset >= 100) returns exactly the second batch.
+    assert(log.where(col("offset") >= 100).count() == 50)
+  }
+}
