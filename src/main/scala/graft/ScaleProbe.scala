@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling evidence: inflate the sf0.1 tables K× in /tmp
+  * (STRUCTURE-PRESERVING — keys are remapped so cardinalities grow with
+  * the data, and document text gets a per-replica vocabulary suffix so
+  * the near-dup pair structure replicates instead of exploding
+  * quadratically), then time representative heavy operators at 1× and
+  * K× and print the ratio. A shuffle-bound operator should scale ≈ K·
+  * log-ish; anything super-linear is a plan that would not survive 100×.
+  *
+  * Run: sbt "runMain graft.ScaleProbe [K]"; results recorded in
+  * BASELINE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(8)
+    val sf = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-scale-x$k"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm
+
+    def replicate(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(k).select(col("id").as("rep")))
+
+    // lineitem/orders: remap join keys so the key space grows K× too.
+    replicate(Tables.lineitem(spark, sf))
+      .withColumn("l_orderkey", col("l_orderkey") * k + col("rep")).drop("rep")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(Tables.orders(spark, sf))
+      .withColumn("o_orderkey", col("o_orderkey") * k + col("rep")).drop("rep")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // events: new ids and users, ts shifted per replica (keeps sessions).
+    replicate(Tables.events(spark, sf))
+      .withColumn("event_id", col("event_id") * k + col("rep"))
+      .withColumn("user_id", col("user_id") * k + col("rep"))
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts"))
+        + col("rep") * 86400000000L))
+      .drop("rep")
+      // events.parquet is read via Tables.events (nanosAsLong + div):
+      // store ts back as LONG nanos to honor the raw schema.
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // documents: per-replica vocabulary suffix — replicas of different k
+    // share NO shingles, so the planted near-dup structure replicates
+    // linearly instead of every copy matching every other copy.
+    replicate(Tables.documents(spark, sf))
+      .withColumn("doc_id", col("doc_id") * k + col("rep"))
+      .withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, col("rep").cast("string"))), " "))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    replicate(Tables.embeddings(spark, sf))
+      .withColumn("vec_id", col("vec_id") * k + col("rep")).drop("rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // Dims the probes join against, unchanged.
+    Seq("customer", "nation", "region", "part", "supplier").foreach { t =>
+      Tables.load(spark, sf, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val probes: Seq[(String, String => Long)] = Seq(
+      "q1_pricing_summary" -> (d => SparkEntry.queries("q1_pricing_summary")(spark, d).count()),
+      "q_join_sortmerge" -> (d => SparkEntry.queries("q_join_sortmerge")(spark, d).count()),
+      "q_stream_session" -> (d => SparkEntry.queries("q_stream_session")(spark, d).count()),
+      "q_llm_dedup_near" -> (d => SparkEntry.queries("q_llm_dedup_near")(spark, d).count()),
+      "q_llm_dedup_minhash" -> (d => SparkEntry.queries("q_llm_dedup_minhash")(spark, d).count()),
+      "q_llm_sim_topk" -> (d => SparkEntry.queries("q_llm_sim_topk")(spark, d).count())
+    )
+    println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
+    probes.foreach { case (name, f) =>
+      val (t1, n1) = time(f(sf))
+      val (tk, nk) = time(f(out))
+      println(f"$name%-22s $t1%8.2f $n1%9d $tk%8.2f $nk%9d ${tk / t1}%6.2f")
+    }
+    spark.stop()
+  }
+}
