@@ -86,24 +86,19 @@ object LlmSketches {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // 60-bit SimHash signature per document (word multiset, sign-sum bits).
-    "q_llm_simhash" -> ((s, d) => {
-      val wh = Tables.documents(s, d)
+    // 60-bit SimHash signature per document (word multiset, sign-sum
+    // bits) — ONE typed-aggregator pass (graft.functions.SimHashAgg)
+    // instead of exploding each word hash into 60 (hash, bit) rows
+    // (which materialized ~30M intermediate rows at sf0.1). The oracle
+    // still runs the exploded formulation; both are the same function of
+    // the word-hash multiset, so they hash-match.
+    "q_llm_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(words(col("text"))).as("w"))
         .select(col("doc_id"), md5long(col("w")).as("h"))
-      val bitSums = wh
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
-        .select(col("doc_id"), col("i"),
-          when(expr("shiftright(h, cast(i as int)) & 1") === 1, 1)
-            .otherwise(-1).as("c"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(col("c")).as("bs"))
-      bitSums
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("bs") > 0,
-          expr("shiftleft(1L, cast(i as int))")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
-    }),
+        .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
+        .orderBy("doc_id")),
 
     // SimHash near-pairs within Hamming radius 10.
     "q_llm_simhash_pairs" -> ((s, d) => {
