@@ -100,7 +100,34 @@ object LlmSketches {
         .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
         .orderBy("doc_id")),
 
-    // SimHash near-pairs within Hamming radius 10.
+    // SimHash near-pairs via Hamming-LSH banding — the sub-quadratic
+    // scale path for q_llm_simhash_pairs: split the 60-bit signature into
+    // 12 bands of 5 bits; by pigeonhole, any pair within Hamming radius
+    // 11 (⊇ the declared radius 10) agrees EXACTLY on at least one band,
+    // so candidates come from a band equi-join instead of the all-pairs
+    // cross join, then the true Hamming distance is re-checked. Same
+    // output as q_llm_simhash_pairs (the oracle proves the rewrite).
+    "q_llm_simhash_lsh" -> ((s, d) => {
+      val sig = queries("q_llm_simhash")(s, d)
+      val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(11))).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b"),
+          expr("(simhash >> (b * 5)) & 31").as("bits"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bits") === col("y.bits")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+          col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .where(col("hamming") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-pairs within Hamming radius 10 (exact all-pairs
+    // baseline of the banded path above).
     "q_llm_simhash_pairs" -> ((s, d) => {
       val sig = queries("q_llm_simhash")(s, d)
       val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
@@ -265,7 +292,14 @@ object LlmSketches {
          SELECT doc_id,
                 CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
-    "q_llm_simhash_pairs" ->
+    // The banded path is an execution strategy — its oracle is the same
+    // all-pairs statement, proving the rewrite loses nothing at r<=10.
+    "q_llm_simhash_lsh" -> simhashPairsOracle,
+    "q_llm_simhash_pairs" -> simhashPairsOracle,
+    "q_llm_ann_ivf" -> annIvfOracle
+  )
+
+  private lazy val simhashPairsOracle: String =
       """WITH wh AS (SELECT doc_id,
                             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -281,8 +315,9 @@ object LlmSketches {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-         ORDER BY doc_a, doc_b""",
-    "q_llm_ann_ivf" ->
+         ORDER BY doc_a, doc_b"""
+
+  private lazy val annIvfOracle: String =
       s"""WITH q AS (SELECT vec_id, embedding AS e FROM embeddings),
             c AS (SELECT vec_id AS cid, embedding AS qe FROM embeddings
                   WHERE vec_id < 8),
@@ -307,5 +342,4 @@ object LlmSketches {
             ps AS (SELECT vec_id, $duckDot AS dot FROM pu GROUP BY vec_id)
          SELECT vec_id, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
          ORDER BY score DESC, vec_id LIMIT 5"""
-  )
 }

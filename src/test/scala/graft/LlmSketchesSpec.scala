@@ -4,7 +4,17 @@ import org.apache.spark.sql.functions._
 
 class LlmSketchesSpec extends QuerySuiteBase {
   Seq("q_llm_dedup_minhash", "q_llm_simhash", "q_llm_simhash_pairs",
-    "q_llm_ann_ivf", "q_agg_approx_distinct").foreach(checkDeclared(_))
+    "q_llm_ann_ivf", "q_agg_approx_distinct", "q_llm_simhash_lsh")
+    .foreach(checkDeclared(_))
+
+  test("simhash Hamming-LSH banding returns EXACTLY the all-pairs result") {
+    // 12 bands of 5 bits guarantee (pigeonhole) that any pair within
+    // Hamming radius 11 >= the declared 10 shares a band — so unlike
+    // probabilistic MinHash banding, this rewrite must be lossless.
+    val exact = q("q_llm_simhash_pairs").collect().map(_.toString).toSeq
+    val banded = q("q_llm_simhash_lsh").collect().map(_.toString).toSeq
+    assert(banded == exact)
+  }
 
   test("minhash-LSH recall: finds the same pairs as the exact join") {
     val exact = q("q_llm_dedup_near").select("doc_a", "doc_b")
