@@ -85,6 +85,13 @@ class PlanAuditSpec extends QuerySuiteBase {
     assert(p.contains("long_array_dot"), "scoring must use the codegen kernel")
   }
 
+  test("column pruning: the q1 scan reads only the columns it needs") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      "scan reads columns the query never touches:\n" + p)
+  }
+
   test("centroid aggregates partially before the (label, dim) shuffle") {
     val p = plan("q_llm_centroid")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
