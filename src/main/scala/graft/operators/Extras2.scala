@@ -194,6 +194,19 @@ object Extras2 {
           expr("right(lang, 2)").as("r2"))
         .orderBy("doc_id")),
 
+    // Error-safe function family (ANSI mode stays ON session-wide; these
+    // are the per-expression opt-outs): failed casts and zero-division
+    // yield NULL instead of raising.
+    "q_fn_try" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("try_cast(lang AS INT)").as("lang_int"),
+          expr("try_cast(cast(doc_id AS STRING) AS INT)").as("id_int"),
+          try_divide(col("n_chars").cast("double"), col("doc_id").cast("double"))
+            .as("chars_per_id"),
+          expr("try_to_number(cast(n_chars AS STRING), '999999')").as("n_parsed"))
+        .orderBy("doc_id")),
+
     // Trigonometric family on bounded inputs, rounded to 6 dp (both
     // engines compute on identical input doubles; libm vs java.lang.Math
     // agree within an ulp, far inside the rounding margin).
@@ -458,6 +471,14 @@ object Extras2 {
                 printf('%s-%05d', lang, doc_id) AS tag,
                 left(text, 8) AS l8,
                 right(lang, 2) AS r2
+         FROM documents ORDER BY doc_id""",
+    "q_fn_try" ->
+      """SELECT doc_id,
+                TRY_CAST(lang AS INT) AS lang_int,
+                TRY_CAST(CAST(doc_id AS VARCHAR) AS INT) AS id_int,
+                CAST(n_chars AS DOUBLE) / nullif(CAST(doc_id AS DOUBLE), 0)
+                  AS chars_per_id,
+                TRY_CAST(CAST(n_chars AS VARCHAR) AS DECIMAL(6,0)) AS n_parsed
          FROM documents ORDER BY doc_id""",
     "q_fn_trig" ->
       """SELECT event_id,
