@@ -44,6 +44,17 @@ object PerfProbe {
     time("full q_llm_dedup_near") {
       SparkEntry.queries("q_llm_dedup_near")(spark, sfDir).count()
     }
+    // Alternative pair builder: inverted index (group by shingle, emit
+    // in-partition pair combinations) instead of the hash self-join.
+    time("inverted-index pairs") {
+      import spark.implicits._
+      ex.as[(Long, Long)].groupByKey(_._2).flatMapGroups { (_, it) =>
+        val ds = it.map(_._1).toArray.sorted
+        if (ds.length < 2) Iterator.empty
+        else ds.indices.iterator.flatMap(i =>
+          (i + 1 until ds.length).iterator.map(j => (ds(i), ds(j))))
+      }.toDF("doc_a", "doc_b").groupBy("doc_a", "doc_b").count().count()
+    }
     spark.stop()
   }
 }

@@ -101,28 +101,38 @@ object LlmSketches {
         .orderBy("doc_id")),
 
     // SimHash near-pairs via Hamming-LSH banding — the sub-quadratic
-    // scale path for q_llm_simhash_pairs: split the 60-bit signature into
-    // 12 bands of 5 bits; by pigeonhole, any pair within Hamming radius
-    // 11 (⊇ the declared radius 10) agrees EXACTLY on at least one band,
-    // so candidates come from a band equi-join instead of the all-pairs
-    // cross join, then the true Hamming distance is re-checked. Same
-    // output as q_llm_simhash_pairs (the oracle proves the rewrite).
+    // scale path: split the 60-bit signature into 7 covering bands (sizes
+    // 8-9 bits); by pigeonhole, any pair within Hamming radius 6 agrees
+    // EXACTLY on at least one band, so candidates come from a band
+    // equi-join instead of the all-pairs cross join, then the true
+    // distance is re-checked — a LOSSLESS rewrite at its radius (the
+    // oracle is the all-pairs statement). The radius is tighter than
+    // q_llm_simhash_pairs' 10 on purpose: banding efficiency scales with
+    // radius/bits, and r=10 over 60 bits is loose enough that 11+ narrow
+    // bands collide almost as much as the cross join (measured).
     "q_llm_simhash_lsh" -> ((s, d) => {
       val sig = queries("q_llm_simhash")(s, d)
+      // Band b covers bits [60b/7, 60(b+1)/7) — 7 bands, jointly exact.
+      val bandCols = (0 until 7).map { b =>
+        val lo = 60 * b / 7
+        val width = 60 * (b + 1) / 7 - lo
+        struct(lit(b).as("b"),
+          expr(s"(simhash >> $lo) & ${(1L << width) - 1}").as("bits"))
+      }
       val bands = sig.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(11))).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b"),
-          expr("(simhash >> (b * 5)) & 31").as("bits"))
-      val cand = bands.as("x").join(bands.as("y"),
+          explode(array(bandCols: _*)).as("x"))
+        .select(col("doc_id"), col("simhash"),
+          col("x.b").as("b"), col("x.bits").as("bits"))
+      bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bits") === col("y.bits")
             && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
-          col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .as("hamming"))
+        // Verify BEFORE deduplicating, so distinct() only shuffles the
+        // surviving near-pairs, not the full multi-band candidate set.
+        .where(col("hamming") <= 6)
         .distinct()
-      cand
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .where(col("hamming") <= 10)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -292,15 +302,15 @@ object LlmSketches {
          SELECT doc_id,
                 CAST(SUM(CASE WHEN bs > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
-    // The banded path is an execution strategy — its oracle is the same
-    // all-pairs statement, proving the rewrite loses nothing at r<=10.
-    "q_llm_simhash_lsh" -> simhashPairsOracle,
-    "q_llm_simhash_pairs" -> simhashPairsOracle,
+    // The banded path is an execution strategy — its oracle is the
+    // all-pairs statement at ITS radius, proving the rewrite is lossless.
+    "q_llm_simhash_lsh" -> simhashPairsOracle(6),
+    "q_llm_simhash_pairs" -> simhashPairsOracle(10),
     "q_llm_ann_ivf" -> annIvfOracle
   )
 
-  private lazy val simhashPairsOracle: String =
-      """WITH wh AS (SELECT doc_id,
+  private def simhashPairsOracle(radius: Int): String =
+      s"""WITH wh AS (SELECT doc_id,
                             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                            FROM documents) t),
@@ -314,7 +324,7 @@ object LlmSketches {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= $radius
          ORDER BY doc_a, doc_b"""
 
   private lazy val annIvfOracle: String =

@@ -8,12 +8,14 @@ class LlmSketchesSpec extends QuerySuiteBase {
     .foreach(checkDeclared(_))
 
   test("simhash Hamming-LSH banding returns EXACTLY the all-pairs result") {
-    // 12 bands of 5 bits guarantee (pigeonhole) that any pair within
-    // Hamming radius 11 >= the declared 10 shares a band — so unlike
-    // probabilistic MinHash banding, this rewrite must be lossless.
-    val exact = q("q_llm_simhash_pairs").collect().map(_.toString).toSeq
+    // 7 covering bands guarantee (pigeonhole) that any pair within
+    // Hamming radius 6 shares a band — so unlike probabilistic MinHash
+    // banding, this rewrite must be lossless at its radius. The radius-6
+    // ground truth is the all-pairs query filtered down.
+    val exact = q("q_llm_simhash_pairs")
+      .where(col("hamming") <= 6).collect().map(_.toString).toSeq
     val banded = q("q_llm_simhash_lsh").collect().map(_.toString).toSeq
-    assert(banded == exact)
+    assert(banded.nonEmpty && banded == exact)
   }
 
   test("minhash-LSH recall: finds the same pairs as the exact join") {
