@@ -177,8 +177,14 @@ object Extras2 {
           posexplode(transform(col("embedding"),
             x => round(x.cast("double") * 1e6).cast("long"))))
         .groupBy(col("label"), (col("pos") + 1).as("i"))
+        // NO round() here: both engines compute this division with the
+        // identical IEEE op sequence on identical integer sums, so the
+        // raw double is bit-exact — while round(x, 6) implementations
+        // BREAK TIES differently (Spark's exact-decimal HALF_UP vs
+        // DuckDB's multiply-based rounding; diverged on 1 of 640 values
+        // at sf0.1). Round only where op sequences differ.
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum(col("col")).cast("double") / 1e6 / count(lit(1)), 6)
+          (sum(col("col")).cast("double") / 1e6 / count(lit(1)))
             .as("centroid"))
         .orderBy("label", "i")),
 
@@ -462,7 +468,7 @@ object Extras2 {
             u AS (SELECT label, qe,
                          unnest(generate_series(1, len(qe))) AS i FROM q)
          SELECT label, CAST(i AS INT) AS i, COUNT(*) AS n_vecs,
-                round(CAST(SUM(qe[i]) AS DOUBLE) / 1e6 / COUNT(*), 6) AS centroid
+                CAST(SUM(qe[i]) AS DOUBLE) / 1e6 / COUNT(*) AS centroid
          FROM u GROUP BY label, i ORDER BY label, i""",
     "q_fn_char" ->
       """SELECT doc_id,
