@@ -22,8 +22,6 @@ object Extras {
 
   type Q = (SparkSession, String) => DataFrame
 
-  import Det.md5long
-
   val queries: Map[String, Q] = Map(
     // Distribution window functions (percent_rank/cume_dist — exact
     // rational arithmetic on identical inputs in both engines).

@@ -177,17 +177,22 @@ object LlmOps {
     // canonicalization a real dedup needs (A~B, B~C ⇒ one cluster even
     // when A~C was never scored). Distributed iterative min-label
     // propagation: per round, every node takes the min of its own and its
-    // neighbors' labels; converges in <= diameter rounds. localCheckpoint
-    // truncates the growing lineage each round (the standard Spark
-    // iterative-algorithm idiom); cluster state stays fully distributed.
+    // neighbors' labels; converges in <= diameter rounds. Rounds use
+    // persist()/unpersist() — CacheManager-registered, so superseded
+    // blocks really are freed (Dataset.unpersist is a NO-OP on
+    // localCheckpoint'd plans, verified against the Spark 4.1.2 cache
+    // path). Lineage depth grows with the round count, which is bounded
+    // by the component diameter — tiny for near-dup clusters; a workload
+    // with adversarially long chains would add a checkpoint every ~10
+    // rounds.
     "q_llm_dedup_clusters" -> ((s, d) => {
       val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
+        .persist()
       var labels = edges.select(col("doc_a").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
-        .localCheckpoint()
+        .persist()
       var changed = true
       while (changed) {
         val prop = edges
@@ -195,20 +200,17 @@ object LlmOps {
           .select(col("doc_b").as("id"), col("lbl"))
         val next = labels.select(col("id"), col("lbl")).unionByName(prop)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .persist()
         changed = next.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .where(col("n.lbl") =!= col("o.lbl"))
           .limit(1).count() > 0
-        // The superseded round's checkpoint blocks are dead once `changed`
-        // has been evaluated — drop them, or every round of every
-        // invocation accumulates in the block manager for the session's
-        // lifetime. (The FINAL labels stay persisted: the returned plan's
-        // lineage is truncated to those blocks.)
         labels.unpersist()
         labels = next
       }
       edges.unpersist()
+      // The returned plan still references the final `labels` cache; if
+      // its blocks are ever evicted the intact lineage recomputes them.
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -29,41 +29,51 @@ object WritePath {
 
   /** Returns `df` with an `offset` column: start, start+1, ... in the
     * total order given by `orderCols` (must be a total order — include a
-    * unique tie-breaker). */
+    * unique tie-breaker). `zipWithIndex` is exactly the two-pass
+    * distributed assignment described above (its first job counts rows
+    * per partition; only counts reach the driver). */
   def withOffsets(df: DataFrame, orderCols: Seq[Column], start: Long): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val bases = counts.scanLeft(start)(_ + _) // exclusive prefix sum
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "offset", LongType, nullable = false))
-    val withOff = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var off = bases(i)
-      it.map { row =>
-        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ off)
-        off += 1
-        r
-      }
+    val withOff = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (start + i))
     }
     spark.createDataFrame(withOff, schema)
   }
 
   /** Append `batch` to the parquet log at `dir`, assigning offsets after
-    * the current tail (or `0` on an empty log). Returns the new tail
-    * offset (exclusive). The write itself is an ordinary parquet append —
-    * immutable files, snapshot-isolated readers, exactly the reference's
-    * copy-on-write read model. */
+    * the current tail (or `0` on an absent log). Returns the new tail
+    * offset (exclusive).
+    *
+    * Concurrency contract — stated, not hand-waved: this is a
+    * SINGLE-WRITER log, like the reference store's one writer goroutine.
+    * Written part-files are immutable, so a reader that lists the
+    * directory between appends sees a consistent prefix; a reader racing
+    * the commit of an in-flight append may see a partial batch, and two
+    * concurrent appenders would assign overlapping offsets — a
+    * multi-writer deployment needs a transactional table format
+    * underneath, which is out of scope here (BASELINE.json excludes
+    * replicating the storage layer). */
   def append(dir: String, batch: DataFrame, orderCols: Seq[Column]): Long = {
     val spark = batch.sparkSession
+    // ONLY an absent log maps to tail 0 — any other read failure
+    // (transient IO, corrupt footer) must propagate, not silently restart
+    // offsets at 0 and corrupt the log with duplicates.
     val tail =
       try spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) + 1
-      catch { case _: Throwable => 0L }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => 0L
+      }
     val withOff = withOffsets(batch, orderCols, tail)
     withOff.write.mode("append").parquet(dir)
-    tail + batch.count()
+    // The written row count, read back from the offsets just assigned —
+    // never a third recomputation of the (possibly non-deterministic
+    // source) batch plan.
+    spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) + 1
   }
 }
