@@ -175,6 +175,41 @@ object LlmSketches {
         .limit(5)
     }),
 
+    // Embedding near-dup via the same hyperplane buckets — the scale path
+    // for q_llm_dedup_embed's exact all-pairs scan: candidate pairs must
+    // share a bucket in at least one of the probe views (the bucket
+    // itself plus each single-plane flip — the same multi-probe trick as
+    // the ANN query, symmetric per pair), then the exact integer cosine
+    // filters them. Probing all Hamming-1 neighbors makes a miss require
+    // the pair to disagree on >= 2 of 4 planes. Candidates are
+    // (5/16)·n²-ish instead of n²; at 100 TB the probe views are the
+    // shuffle keys.
+    "q_llm_dedup_embed_lsh" -> ((s, d) => {
+      val planes: Seq[Column] = (0 until 4).map { j =>
+        typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
+      }
+      val bucket = (0 until 4).map(j =>
+        when(longDot(col("qe"), planes(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
+        .withColumn("bkt", bucket)
+      // Probe views: identity + each single-plane flip of the LEFT side;
+      // pair (a,b) within Hamming distance 1 of each other's buckets
+      // collides in at least one view.
+      val probed = emb.select(col("vec_id"), col("qe"),
+        explode(array(Seq(0, 1, 2, 4, 8).map(m =>
+          col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
+      probed.as("a")
+        .join(emb.as("b"),
+          col("a.pb") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          (longDot(col("a.qe"), col("b.qe")).cast("double") / 1e12).as("score"))
+        .where(col("score") >= 0.35)
+        .distinct()
+        .orderBy("va", "vb")
+    }),
+
     // Random-hyperplane LSH ANN: 4 fixed portable hyperplanes give a
     // 16-bucket sign signature; search probes the query's bucket plus all
     // buckets at Hamming distance 1 (standard multi-probe LSH, so a near
@@ -259,6 +294,37 @@ object LlmSketches {
 
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_minhash" -> minhashOracle,
+    "q_llm_dedup_embed_lsh" ->
+      """WITH qv AS (SELECT vec_id,
+                            list_transform(embedding, x ->
+                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                     FROM embeddings),
+            pl AS (SELECT j, i,
+                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
+                               AS BIGINT) % 2001 - 1000 AS hv
+                   FROM generate_series(0, 3) g(j), generate_series(0, 63) h(i)),
+            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
+                     FROM qv, pl GROUP BY vec_id, j),
+            bk AS (SELECT vec_id,
+                          CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                               AS INT) AS bkt
+                   FROM dots GROUP BY vec_id),
+            pr AS (SELECT vec_id, CAST(xor(bkt, m) AS INT) AS pb
+                   FROM bk, unnest([0, 1, 2, 4, 8]) u(m)),
+            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                     FROM pr a JOIN bk b
+                       ON a.pb = b.bkt AND a.vec_id < b.vec_id),
+            p AS (SELECT c.va, c.vb, x.qe AS e, y.qe AS q0e
+                  FROM cand c
+                  JOIN qv x ON x.vec_id = c.va
+                  JOIN qv y ON y.vec_id = c.vb),
+            pu AS (SELECT va, vb, e, q0e,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT va, vb, SUM(e[i] * q0e[i]) AS dot
+                   FROM pu GROUP BY va, vb)
+         SELECT va, vb, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
+         WHERE CAST(dot AS DOUBLE) / 1e12 >= 0.35
+         ORDER BY va, vb""",
     "q_llm_ann_lsh" ->
       """WITH qv AS (SELECT vec_id,
                             list_transform(embedding, x ->

@@ -4,8 +4,26 @@ import org.apache.spark.sql.functions._
 
 class LlmSketchesSpec extends QuerySuiteBase {
   Seq("q_llm_dedup_minhash", "q_llm_simhash", "q_llm_simhash_pairs",
-    "q_llm_ann_ivf", "q_agg_approx_distinct", "q_llm_simhash_lsh")
+    "q_llm_ann_ivf", "q_agg_approx_distinct", "q_llm_simhash_lsh",
+    "q_llm_dedup_embed_lsh")
     .foreach(checkDeclared(_))
+
+  test("embed-LSH pairs are a subset of the exact pairs, scores identical") {
+    // LSH prunes candidates; it must never invent a pair or alter a
+    // score. (Recall at this fixture's low 0.35 threshold is ~50% by the
+    // hyperplane collision formula — the fixture has no high-similarity
+    // cluster structure; at a true near-dup threshold recall approaches
+    // 1. The subset property is what must hold unconditionally.)
+    val exact = q("q_llm_dedup_embed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+    val lsh = q("q_llm_dedup_embed_lsh").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.get(k).contains(r.getAs[Double]("score")),
+        s"LSH pair $k not in exact result (or score differs)")
+    }
+  }
 
   test("simhash Hamming-LSH banding returns EXACTLY the all-pairs result") {
     // 7 covering bands guarantee (pigeonhole) that any pair within
