@@ -302,6 +302,30 @@ object Extras2 {
         LIMIT 20""")
     }),
 
+    // TPC-H Q18 shape (large-volume customer): IN-subquery with HAVING
+    // over the fact table, then a 3-way join + top-k — the decorrelated
+    // subquery-into-semi-join pattern, submitted as SQL text.
+    "q_sql_q18" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(s"v_$t"))
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+               o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM v_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    }),
+
     // Array set-operation family — scalarized for cross-engine hashing.
     "q_fn_array2" -> ((s, d) => {
       val a1 = array(col("user_id"), col("event_id") % 10, lit(7L))
@@ -546,6 +570,22 @@ object Extras2 {
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "q_sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+                o_totalprice,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "q_fn_array2" ->
       """WITH t AS (SELECT event_id,
                            [user_id, event_id % 10, 7] AS a1,

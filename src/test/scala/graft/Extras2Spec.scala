@@ -8,7 +8,7 @@ class Extras2Spec extends QuerySuiteBase {
     "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
     "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted",
     "q_sql_q3", "q_fn_array2", "q_fn_trig", "q_win_analytic2",
-    "q_llm_frames", "q_sql_q5", "q_sql_q10", "q_fn_try")
+    "q_llm_frames", "q_sql_q5", "q_sql_q10", "q_fn_try", "q_sql_q18")
     .foreach(checkDeclared(_))
 
   test("frame sampling keeps every 4th frame with correct offsets") {
