@@ -81,7 +81,10 @@ object ScaleProbe {
       "q_stream_session" -> (d => SparkEntry.queries("q_stream_session")(spark, d).count()),
       "q_llm_dedup_near" -> (d => SparkEntry.queries("q_llm_dedup_near")(spark, d).count()),
       "q_llm_dedup_minhash" -> (d => SparkEntry.queries("q_llm_dedup_minhash")(spark, d).count()),
-      "q_llm_sim_topk" -> (d => SparkEntry.queries("q_llm_sim_topk")(spark, d).count())
+      "q_llm_sim_topk" -> (d => SparkEntry.queries("q_llm_sim_topk")(spark, d).count()),
+      "q_llm_simhash_lsh" -> (d => SparkEntry.queries("q_llm_simhash_lsh")(spark, d).count()),
+      "q_llm_dedup_clusters" -> (d => SparkEntry.queries("q_llm_dedup_clusters")(spark, d).count()),
+      "q_llm_centroid" -> (d => SparkEntry.queries("q_llm_centroid")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
