@@ -165,6 +165,39 @@ object Extras2 {
         .orderBy("l_returnflag")
     }),
 
+    // Linear-regression aggregates (slope/intercept of price over
+    // quantity per flag) from the same exact-moment pattern as
+    // q_agg_corr — the built-in regr_* functions are merge-order
+    // dependent, the moment formula is not.
+    "q_agg_regr" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("sxx") - col("sx") * col("sx") / col("n")), 6)
+            .as("slope"),
+          round(col("sy") / col("n")
+            - ((col("sxy") - col("sx") * col("sy") / col("n"))
+              / (col("sxx") - col("sx") * col("sx") / col("n")))
+              * (col("sx") / col("n")), 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // stack(): the generator form of unpivot — n literal (key, value)
+    // tuples per input row.
+    "q_fn_stack" -> ((s, d) =>
+      Tables.part(s, d)
+        .selectExpr("p_partkey",
+          "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (k, v)")
+        .orderBy("p_partkey", "k")),
+
     // Per-label embedding centroid — the "average the vectors per class"
     // step of a training pipeline, as a DISTRIBUTED elementwise mean:
     // posexplode to (label, dim, component), exact integer sums of the
@@ -484,6 +517,25 @@ object Extras2 {
                 round((sxy - sx * sy / n)
                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
          FROM t ORDER BY l_returnflag""",
+    "q_agg_regr" ->
+      """WITH t AS (SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+                round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                      * (sx / n), 6) AS intercept
+         FROM t ORDER BY l_returnflag""",
+    "q_fn_stack" ->
+      """SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part
+         UNION ALL
+         SELECT p_partkey, 'retail' AS k, p_retailprice AS v FROM part
+         ORDER BY p_partkey, k""",
     "q_llm_centroid" ->
       """WITH q AS (SELECT label,
                            list_transform(embedding, x ->

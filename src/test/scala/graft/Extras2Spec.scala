@@ -8,8 +8,25 @@ class Extras2Spec extends QuerySuiteBase {
     "q_agg_percentile_approx", "q_join_range_bucketed", "q_llm_ann_lsh",
     "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted",
     "q_sql_q3", "q_fn_array2", "q_fn_trig", "q_win_analytic2",
-    "q_llm_frames", "q_sql_q5", "q_sql_q10", "q_fn_try", "q_sql_q18")
+    "q_llm_frames", "q_sql_q5", "q_sql_q10", "q_fn_try", "q_sql_q18",
+    "q_agg_regr", "q_fn_stack")
     .foreach(checkDeclared(_))
+
+  test("regression slope equals covariance / variance across queries") {
+    // Cross-query identity: q_agg_regr.slope == q_agg_corr.covar_samp /
+    // q_agg_stats.var_qty per group (the (n-1) normalizations cancel).
+    val slope = q("q_agg_regr").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
+    val covar = q("q_agg_corr").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("covar_samp")).toMap
+    val varq = q("q_agg_stats").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("var_qty")).toMap
+    slope.foreach { case (flag, s) =>
+      val expected = covar(flag) / varq(flag)
+      assert(math.abs(s - expected) < 1e-4,
+        s"$flag: slope $s != covar/var $expected")
+    }
+  }
 
   test("frame sampling keeps every 4th frame with correct offsets") {
     val fr = q("q_llm_frames")

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("p_id") == 2L))
   }
 
+  test("Trigger.AvailableNow drains everything queued, then stops itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    in.addData(ev(0, 1), ev(1, 90), ev(2, 200))
+    val q = StreamOps.tumbling(in.toDF())
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(sink).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+    // 3 events in 3 distinct hours → 3 windows, one event each.
+    val rows = spark.table(sink).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+
+  test("session windows reject update mode (merge semantics need append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // Pinning Spark's documented contract: session_window aggregations
+    // cannot update-emit (a later event can MERGE two already-emitted
+    // sessions); only append-after-watermark is sound, which the
+    // gaps-and-islands twin and the append-mode session test rely on.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamOps.sessions(in.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName(nextSink()).start()
+    }
+    assert(e.getCondition != null
+      && e.getCondition.startsWith("STREAMING_OUTPUT_MODE"))
+  }
+
   test("parquet file sink appends each micro-batch durably (with checkpoint)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
