@@ -359,6 +359,34 @@ object Extras2 {
         LIMIT 100""")
     }),
 
+    // Correlated LATERAL derived table (top-2-per-outer-row as a lateral
+    // subquery — the SQL-standard spelling of topk-per-group).
+    "q_sql_lateral" -> ((s, d) => {
+      Tables.load(s, d, "region").createOrReplaceTempView("v_region")
+      Tables.load(s, d, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT r_name, n.n_name, n.n_nationkey
+        FROM v_region r,
+        LATERAL (SELECT n_name, n_nationkey FROM v_nation
+                 WHERE n_regionkey = r.r_regionkey
+                 ORDER BY n_nationkey LIMIT 2) n
+        ORDER BY r_name, n_nationkey""")
+    }),
+
+    // to_json → get_json_object round-trip, projected back to scalars
+    // (the JSON STRING itself is not compared — engines format
+    // whitespace differently; the values must survive the round-trip).
+    "q_fn_json2" -> ((s, d) => {
+      val j = to_json(struct(col("event_id").as("id"),
+        col("event_type").as("t"), col("user_id").as("u")))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(j, "$.id").cast("long").as("rt_id"),
+          get_json_object(j, "$.t").as("rt_type"),
+          get_json_object(j, "$.u").cast("long").as("rt_user"))
+        .orderBy("event_id")
+    }),
+
     // Array set-operation family — scalarized for cross-engine hashing.
     "q_fn_array2" -> ((s, d) => {
       val a1 = array(col("user_id"), col("event_id") % 10, lit(7L))
@@ -622,6 +650,21 @@ object Extras2 {
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+    "q_sql_lateral" ->
+      """SELECT r_name, n.n_name, n.n_nationkey
+         FROM region r,
+         LATERAL (SELECT n_name, n_nationkey FROM nation
+                  WHERE n_regionkey = r.r_regionkey
+                  ORDER BY n_nationkey LIMIT 2) n
+         ORDER BY r_name, n_nationkey""",
+    // Values must survive the to_json round-trip; the oracle states them
+    // directly (cross-engine JSON text formatting differs by design).
+    "q_fn_json2" ->
+      """SELECT event_id,
+                event_id AS rt_id,
+                event_type AS rt_type,
+                user_id AS rt_user
+         FROM events ORDER BY event_id""",
     "q_sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
                 epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,

@@ -9,7 +9,7 @@ class Extras2Spec extends QuerySuiteBase {
     "q_agg_corr", "q_llm_centroid", "q_fn_char", "q_join_salted",
     "q_sql_q3", "q_fn_array2", "q_fn_trig", "q_win_analytic2",
     "q_llm_frames", "q_sql_q5", "q_sql_q10", "q_fn_try", "q_sql_q18",
-    "q_agg_regr", "q_fn_stack")
+    "q_agg_regr", "q_fn_stack", "q_sql_lateral", "q_fn_json2")
     .foreach(checkDeclared(_))
 
   test("regression slope equals covariance / variance across queries") {
