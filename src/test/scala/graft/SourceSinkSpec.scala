@@ -50,6 +50,24 @@ class SourceSinkSpec extends QuerySuiteBase {
     assert(a == b)
   }
 
+  test("binaryFile source ingests opaque payloads with typed metadata") {
+    // The real multimodal INGEST path: files arrive as (path, modTime,
+    // length, content BINARY) rows — the schema the decode kernels
+    // (Multimodal.decodePartition/framePartition) consume at scale.
+    val dir = "/root/testdata/sf0.001"
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(dir)
+      .select(col("path"), col("length"), col("content"))
+      .collect()
+    assert(files.length == 10) // one per table
+    files.foreach { r =>
+      val onDisk = java.nio.file.Files.size(java.nio.file.Paths.get(
+        new java.net.URI(r.getAs[String]("path")).getPath))
+      assert(r.getAs[Long]("length") == onDisk)
+      assert(r.getAs[Array[Byte]]("content").length == onDisk)
+    }
+  }
+
   test("partitioned layout: event_type filter prunes partitions at scan") {
     val out = tmp("graft-part")
     Tables.events(spark, sf).write.mode("overwrite")
