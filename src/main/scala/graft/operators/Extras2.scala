@@ -179,14 +179,17 @@ object Extras2 {
           sum(y).cast("double").as("sy"),
           sum(x * y).cast("double").as("sxy"),
           sum(x * x).cast("double").as("sxx"))
+        // Slope computed ONCE; the intercept derives from it (so the two
+        // can never drift apart if the formula gains e.g. a zero-variance
+        // guard). Rounding happens at the END on both — rounding the
+        // slope before deriving the intercept would change the value.
+        .withColumn("slope_raw",
+          (col("sxy") - col("sx") * col("sy") / col("n"))
+            / (col("sxx") - col("sx") * col("sx") / col("n")))
         .select(col("l_returnflag"), col("n"),
-          round((col("sxy") - col("sx") * col("sy") / col("n"))
-            / (col("sxx") - col("sx") * col("sx") / col("n")), 6)
-            .as("slope"),
-          round(col("sy") / col("n")
-            - ((col("sxy") - col("sx") * col("sy") / col("n"))
-              / (col("sxx") - col("sx") * col("sx") / col("n")))
-              * (col("sx") / col("n")), 6).as("intercept"))
+          round(col("slope_raw"), 6).as("slope"),
+          round(col("sy") / col("n") - col("slope_raw") * (col("sx") / col("n")), 6)
+            .as("intercept"))
         .orderBy("l_returnflag")
     }),
 
@@ -553,12 +556,13 @@ object Extras2 {
                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
-         FROM lineitem GROUP BY l_returnflag)
+         FROM lineitem GROUP BY l_returnflag),
+            sl AS (SELECT *, (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                             AS slope_raw FROM t)
          SELECT l_returnflag, n,
-                round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
-                round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
-                      * (sx / n), 6) AS intercept
-         FROM t ORDER BY l_returnflag""",
+                round(slope_raw, 6) AS slope,
+                round(sy / n - slope_raw * (sx / n), 6) AS intercept
+         FROM sl ORDER BY l_returnflag""",
     "q_fn_stack" ->
       """SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part
          UNION ALL

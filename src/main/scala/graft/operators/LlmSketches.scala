@@ -26,6 +26,26 @@ object LlmSketches {
 
   import graft.Det.md5long
 
+  /** Single-plane-flip probe masks shared by both hyperplane-LSH queries
+    * (identity + one flip per plane). */
+  private val ProbeMasks: Seq[Int] = Seq(0, 1, 2, 4, 8)
+
+  /** ONE definition of the hyperplane sign-bucket assignment, shared by
+    * the ANN search and the embedding near-dup queries (the DuckDB twins
+    * share the matching CTE prefix, `lshBucketCte`): quantized embedding
+    * plus its 4-plane 16-bucket signature. */
+  private def hyperplaneBucketed(s: SparkSession, d: String): DataFrame = {
+    val planes: Seq[Column] = (0 until 4).map { j =>
+      typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
+    }
+    val bucket = (0 until 4).map(j =>
+      when(longDot(col("qe"), planes(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), q6v(col("embedding")).as("qe"))
+      .withColumn("bkt", bucket)
+  }
+
   /** Driver-side twin of md5long for CONSTANT codebooks (LSH hyperplanes):
     * first 15 md5 hex chars as a 60-bit integer — identical to the SQL
     * formula in both engines, so plan constants match the oracle's. */
@@ -185,20 +205,15 @@ object LlmSketches {
     // (5/16)·n²-ish instead of n²; at 100 TB the probe views are the
     // shuffle keys.
     "q_llm_dedup_embed_lsh" -> ((s, d) => {
-      val planes: Seq[Column] = (0 until 4).map { j =>
-        typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
-      }
-      val bucket = (0 until 4).map(j =>
-        when(longDot(col("qe"), planes(j)) > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
-        .withColumn("bkt", bucket)
       // Probe views: identity + each single-plane flip of the LEFT side;
       // pair (a,b) within Hamming distance 1 of each other's buckets
-      // collides in at least one view.
+      // collides in at least one view. No distinct() needed: for a fixed
+      // pair the 5 probe keys are pairwise distinct, so at most ONE can
+      // equal the right side's bucket — the join emits each pair once
+      // (unlike simhash banding, where several bands can match).
+      val emb = hyperplaneBucketed(s, d)
       val probed = emb.select(col("vec_id"), col("qe"),
-        explode(array(Seq(0, 1, 2, 4, 8).map(m =>
+        explode(array(ProbeMasks.map(m =>
           col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
       probed.as("a")
         .join(emb.as("b"),
@@ -206,7 +221,6 @@ object LlmSketches {
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           (longDot(col("a.qe"), col("b.qe")).cast("double") / 1e12).as("score"))
         .where(col("score") >= 0.35)
-        .distinct()
         .orderBy("va", "vb")
     }),
 
@@ -218,18 +232,10 @@ object LlmSketches {
     // the corpus here, and 2^k/k-th at larger k. Hyperplane components
     // are md5-derived integers, bit-identical in both engines.
     "q_llm_ann_lsh" -> ((s, d) => {
-      val planes: Seq[Column] = (0 until 4).map { j =>
-        typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
-      }
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
-      val bucket = (0 until 4).map(j =>
-        when(longDot(col("qe"), planes(j)) > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      val bucketed = emb.withColumn("bkt", bucket)
+      val bucketed = hyperplaneBucketed(s, d)
       val probes = bucketed.where(col("vec_id") === 0)
         .select(col("qe").as("qv"),
-          explode(array(Seq(0, 1, 2, 4, 8).map(m =>
+          explode(array(ProbeMasks.map(m =>
             col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
       bucketed.where(col("vec_id") =!= 0)
         .join(broadcast(probes), col("bkt") === col("pb"))
@@ -295,23 +301,10 @@ object LlmSketches {
   val oracle: Map[String, String] = Map(
     "q_llm_dedup_minhash" -> minhashOracle,
     "q_llm_dedup_embed_lsh" ->
-      """WITH qv AS (SELECT vec_id,
-                            list_transform(embedding, x ->
-                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-                     FROM embeddings),
-            pl AS (SELECT j, i,
-                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
-                               AS BIGINT) % 2001 - 1000 AS hv
-                   FROM generate_series(0, 3) g(j), generate_series(0, 63) h(i)),
-            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
-                     FROM qv, pl GROUP BY vec_id, j),
-            bk AS (SELECT vec_id,
-                          CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                               AS INT) AS bkt
-                   FROM dots GROUP BY vec_id),
+      s"""WITH $lshBucketCte,
             pr AS (SELECT vec_id, CAST(xor(bkt, m) AS INT) AS pb
                    FROM bk, unnest([0, 1, 2, 4, 8]) u(m)),
-            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
                      FROM pr a JOIN bk b
                        ON a.pb = b.bkt AND a.vec_id < b.vec_id),
             p AS (SELECT c.va, c.vb, x.qe AS e, y.qe AS q0e
@@ -326,20 +319,7 @@ object LlmSketches {
          WHERE CAST(dot AS DOUBLE) / 1e12 >= 0.35
          ORDER BY va, vb""",
     "q_llm_ann_lsh" ->
-      """WITH qv AS (SELECT vec_id,
-                            list_transform(embedding, x ->
-                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-                     FROM embeddings),
-            pl AS (SELECT j, i,
-                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
-                               AS BIGINT) % 2001 - 1000 AS hv
-                   FROM generate_series(0, 3) g(j), generate_series(0, 63) h(i)),
-            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
-                     FROM qv, pl GROUP BY vec_id, j),
-            bk AS (SELECT vec_id,
-                          CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                               AS INT) AS bkt
-                   FROM dots GROUP BY vec_id),
+      s"""WITH $lshBucketCte,
             qb AS (SELECT bkt AS qbkt FROM bk WHERE vec_id = 0),
             pr AS (SELECT CAST(xor(qbkt, m) AS INT) AS pb
                    FROM qb, unnest([0, 1, 2, 4, 8]) u(m)),
@@ -374,6 +354,25 @@ object LlmSketches {
     "q_llm_simhash_pairs" -> simhashPairsOracle(10),
     "q_llm_ann_ivf" -> annIvfOracle
   )
+
+  /** Shared CTE prefix of both hyperplane-LSH oracles — the SQL twin of
+    * `hyperplaneBucketed` (quantize, derive planes, dot per plane, fold
+    * sign bits into the bucket). Used inside `WITH $lshBucketCte, ...`. */
+  private lazy val lshBucketCte: String =
+    """qv AS (SELECT vec_id,
+                            list_transform(embedding, x ->
+                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                     FROM embeddings),
+            pl AS (SELECT j, i,
+                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
+                               AS BIGINT) % 2001 - 1000 AS hv
+                   FROM generate_series(0, 3) g(j), generate_series(0, 63) h(i)),
+            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
+                     FROM qv, pl GROUP BY vec_id, j),
+            bk AS (SELECT vec_id,
+                          CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                               AS INT) AS bkt
+                   FROM dots GROUP BY vec_id)"""
 
   private def simhashPairsOracle(radius: Int): String =
       s"""WITH wh AS (SELECT doc_id,

@@ -54,12 +54,11 @@ class SourceSinkSpec extends QuerySuiteBase {
     // The real multimodal INGEST path: files arrive as (path, modTime,
     // length, content BINARY) rows — the schema the decode kernels
     // (Multimodal.decodePartition/framePartition) consume at scale.
-    val dir = "/root/testdata/sf0.001"
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.parquet").load(dir)
+      .option("pathGlobFilter", "*.parquet").load(sf)
       .select(col("path"), col("length"), col("content"))
       .collect()
-    assert(files.length == 10) // one per table
+    assert(files.length == Tables.names.length) // one per table
     files.foreach { r =>
       val onDisk = java.nio.file.Files.size(java.nio.file.Paths.get(
         new java.net.URI(r.getAs[String]("path")).getPath))
