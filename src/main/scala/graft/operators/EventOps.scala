@@ -65,7 +65,12 @@ object EventOps {
     // linear as-of pass as q_join_asof, no range join, no O(n·m).
     "q_ts_resample" -> ((s, d) => {
       val H = 3600000000L // 1 hour in µs
+      // NULL values are dropped up front ON BOTH SIDES: forward-fill below
+      // uses last(ignoreNulls), which would carry an OLDER value across a
+      // null event while the DuckDB ASOF oracle would return the raw NULL
+      // — "latest non-null observation" is the pinned contract.
       val ev = Tables.events(s, d).where(col("user_id") < 5)
+        .where(col("value").isNotNull)
         .select(col("user_id"), tsUs(col("ts")).as("us"),
           col("value"), col("event_id"))
         .groupBy(col("user_id"), col("us"))
@@ -145,7 +150,7 @@ object EventOps {
     "q_ts_resample" ->
       """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
                            max_by(value, event_id) AS v
-                    FROM events WHERE user_id < 5
+                    FROM events WHERE user_id < 5 AND value IS NOT NULL
                     GROUP BY user_id, epoch_us(ts::TIMESTAMP)),
             b AS (SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
                   FROM e GROUP BY user_id),

@@ -246,7 +246,11 @@ object Extras2 {
           expr("try_cast(cast(doc_id AS STRING) AS INT)").as("id_int"),
           try_divide(col("n_chars").cast("double"), col("doc_id").cast("double"))
             .as("chars_per_id"),
-          expr("try_to_number(cast(n_chars AS STRING), '999999')").as("n_parsed"))
+          // BIGINT, not the raw DECIMAL(6,0): a decimal-typed output column
+          // is unique across the surface and hashes engine-dependently
+          // (pyarrow Decimal object vs DuckDB df float) — cast both sides.
+          expr("try_to_number(cast(n_chars AS STRING), '999999')")
+            .cast("long").as("n_parsed"))
         .orderBy("doc_id")),
 
     // Trigonometric family on bounded inputs, rounded to 6 dp (both
@@ -592,7 +596,8 @@ object Extras2 {
                 TRY_CAST(CAST(doc_id AS VARCHAR) AS INT) AS id_int,
                 CAST(n_chars AS DOUBLE) / nullif(CAST(doc_id AS DOUBLE), 0)
                   AS chars_per_id,
-                TRY_CAST(CAST(n_chars AS VARCHAR) AS DECIMAL(6,0)) AS n_parsed
+                CAST(TRY_CAST(CAST(n_chars AS VARCHAR) AS DECIMAL(6,0)) AS BIGINT)
+                  AS n_parsed
          FROM documents ORDER BY doc_id""",
     "q_fn_trig" ->
       """SELECT event_id,

@@ -34,8 +34,15 @@ object WritePath {
     * per partition; only counts reach the driver). */
   def withOffsets(df: DataFrame, orderCols: Seq[Column], start: Long): DataFrame = {
     val spark = df.sparkSession
+    // localCheckpoint (eager) pins ONE materialization of the sorted batch:
+    // zipWithIndex's per-partition count job and the subsequent write both
+    // read the same checkpointed partitions, so a non-deterministic source
+    // plan (sampling, rand, changing input) cannot make the prefix-sum
+    // bases disagree with the rows actually written — the contiguity
+    // contract holds unconditionally, not just for deterministic plans.
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint()
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "offset", LongType, nullable = false))
@@ -63,8 +70,14 @@ object WritePath {
     // ONLY an absent log maps to tail 0 — any other read failure
     // (transient IO, corrupt footer) must propagate, not silently restart
     // offsets at 0 and corrupt the log with duplicates.
+    // coalesce(max, -1): a log directory that exists but holds zero rows
+    // (e.g. after appending an empty batch) yields max = NULL — treat it
+    // as tail 0, not an NPE.
+    def tailOf(): Long =
+      spark.read.parquet(dir)
+        .agg(coalesce(max(col("offset")), lit(-1L))).head().getLong(0) + 1
     val tail =
-      try spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) + 1
+      try tailOf()
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => 0L
@@ -74,6 +87,6 @@ object WritePath {
     // The written row count, read back from the offsets just assigned —
     // never a third recomputation of the (possibly non-deterministic
     // source) batch plan.
-    spark.read.parquet(dir).agg(max(col("offset"))).head().getLong(0) + 1
+    tailOf()
   }
 }

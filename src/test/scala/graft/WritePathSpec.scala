@@ -54,4 +54,21 @@ class WritePathSpec extends QuerySuiteBase {
     // SearchForward(offset >= 100) returns exactly the second batch.
     assert(log.where(col("offset") >= 100).count() == 50)
   }
+
+  test("empty appends are no-ops: tail survives, next offsets continue") {
+    val dir = Files.createTempDirectory("graft-log-empty").toString + "/log"
+    val none = eventsDf.where(col("event_id") < 0)
+    // Empty append onto an ABSENT log: creates an empty log at tail 0.
+    assert(WritePath.append(dir, none, Seq(col("ts"), col("event_id"))) == 0L)
+    // Empty append onto the EXISTING zero-row log (the NPE case): still 0.
+    assert(WritePath.append(dir, none, Seq(col("ts"), col("event_id"))) == 0L)
+    val tail = WritePath.append(dir, eventsDf.where(col("event_id") < 10),
+      Seq(col("ts"), col("event_id")))
+    assert(tail == 10L)
+    // And an empty append after real rows leaves the tail untouched.
+    assert(WritePath.append(dir, none, Seq(col("ts"), col("event_id"))) == 10L)
+    val offs = spark.read.parquet(dir).select("offset")
+      .collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L until 10L).toSeq)
+  }
 }
