@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size-based AQE coalescing (the Spark-recommended setting): post-
+      // shuffle partitions target the advisory byte size instead of one-
+      // per-core. At bench scale that collapses tiny shuffles to a single
+      // partition (task overhead dominates sub-MB data); at 100 TB the
+      // same setting yields full parallelism because partition count is
+      // derived from actual bytes.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

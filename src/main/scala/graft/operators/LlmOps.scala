@@ -79,20 +79,53 @@ object LlmOps {
     * q_llm_dedup_keep (which only anti-joins on doc_b and must not pay
     * for a sort that the join immediately destroys). */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val rows = shingleRows(s, d)
-    // Join on a 64-bit hash of the shingle, not the string: ~8× smaller
-    // shuffle payload and primitive-long join keys. Collisions are
+    import s.implicits._
+    // ONE corpus pass: every shingle row carries its doc's distinct-shingle
+    // count, so set sizes ride along with the intersection instead of
+    // needing their own aggregation. (The previous self-join formulation
+    // ran the shingle kernel three times — once per join side, once for
+    // per-doc counts — and paid two extra shuffles for the size joins.)
+    // Shingles travel as 64-bit xxhash64 values, not strings: ~8× smaller
+    // shuffle payload, primitive-long keys; collisions are
     // ~|shingles|²/2⁶⁴ — immaterial even at 100 TB corpus scale.
-    val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val cnt = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+    val trips = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(" ", -1) // -1: keep trailing empty tokens, like
+                                    // Spark split() and DuckDB string_split
+        if (w.length < 3) Iterator.empty
+        else {
+          val set = w.sliding(3).map(_.mkString(" ")).toSet
+          set.iterator.map(sh => (id, sh, set.size))
+        }
+      })
+      .toDF("doc_id", "s0", "nsh")
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"), col("nsh"))
+    // Posting list per shingle: group by hash, emit every doc pair inside
+    // the list from a per-group Scala loop (no per-pair interpreted HOF,
+    // no collect_list array churn). Pairs come out (lo, hi)-normalized, so
+    // the downstream order-free aggregates are deterministic regardless of
+    // shuffle arrival order. Scale note: a degenerate super-hot shingle
+    // (df = m) contributes C(m,2) pairs in ANY exact formulation — the
+    // 100 TB path for that corpus shape is the MinHash-LSH query family,
+    // not exact all-pairs.
+    val pairRows = trips.as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val v = it.toArray.sortBy(_._1)
+        if (v.length < 2) Iterator.empty
+        else for {
+          i <- v.indices.iterator
+          j <- (i + 1 until v.length).iterator
+        } yield (v(i)._1, v(i)._3, v(j)._1, v(j)._3)
+      }
+      .toDF("doc_a", "na", "doc_b", "nb")
+    pairRows
+      .groupBy(col("doc_a"), col("doc_b"))
+      // na/nb are constant within a (doc_a, doc_b) group; min() is just
+      // the order-insensitive way to pick the constant up.
+      .agg(count(lit(1)).as("inter"), min(col("na")).cast("long").as("na"),
+        min(col("nb")).cast("long").as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= 0.6)
@@ -193,6 +226,13 @@ object LlmOps {
       var labels = edges.select(col("doc_a").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
         .persist()
+      // Convergence check without a per-round join: labels only ever
+      // DECREASE under min-propagation (next = min(own, neighbors')), so
+      // the label sum strictly decreases iff any label changed. One
+      // scalar aggregate per round — which doubles as the action that
+      // materializes the round's persist() — replaces the
+      // join+filter+count change probe.
+      var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var changed = true
       while (changed) {
         val prop = edges
@@ -201,10 +241,9 @@ object LlmOps {
         val next = labels.select(col("id"), col("lbl")).unionByName(prop)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .persist()
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .where(col("n.lbl") =!= col("o.lbl"))
-          .limit(1).count() > 0
+        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        changed = nextSum != lblSum
+        lblSum = nextSum
         labels.unpersist()
         labels = next
       }
