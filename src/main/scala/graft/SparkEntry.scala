@@ -25,7 +25,8 @@ object SparkEntry {
     (Misc.queries, Misc.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Extras.queries, Extras.oracle),
-    (Extras2.queries, Extras2.oracle)
+    (Extras2.queries, Extras2.oracle),
+    (Extras3.queries, Extras3.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

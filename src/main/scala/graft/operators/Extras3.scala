@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 coverage: calendar-arithmetic round-out (add_months/last_day/
+  * next_day/day-month names/make_date), string→map parsing, deterministic
+  * mode, ordered string aggregation (listagg), tail reads (the reference
+  * store's SearchBackward idiom), and two more TPC-H-shaped SQL-text
+  * queries (Q6 forecast-revenue filter-agg, Q14 promo-revenue ratio).
+  *
+  * Determinism decisions (SURVEY §2.13):
+  *  - all date outputs leave as ISO `yyyy-MM-dd` strings; DuckDB's
+  *    DATE + INTERVAL lands on TIMESTAMP, so the oracle casts back to DATE
+  *    before stringifying.
+  *  - day/month names come from fixed English formats on both engines
+  *    (Spark `date_format 'EEEE'/'MMMM'` is locale-stable under the JVM
+  *    default C/en locale of this deployment; DuckDB dayname/monthname are
+  *    English by definition).
+  *  - mode ties are pinned by (count DESC, value ASC) — the built-in
+  *    mode() aggregate leaves ties engine-defined and is NOT declared.
+  *  - listagg is ordered WITHIN GROUP (ORDER BY ...) on both sides; an
+  *    unordered listagg is merge-order-dependent and never hash-safe.
+  */
+object Extras3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Calendar arithmetic on the order dates. next_day has no DuckDB
+    // twin; the oracle reproduces its contract (smallest strictly-later
+    // date with the requested weekday) from isodow arithmetic.
+    "q_fn_date3" -> ((s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(add_months(dt, 2), "yyyy-MM-dd").as("plus2m"),
+          date_format(last_day(dt), "yyyy-MM-dd").as("eom"),
+          date_format(next_day(dt, "Monday"), "yyyy-MM-dd").as("next_mon"),
+          date_format(dt, "EEEE").as("dname"),
+          date_format(dt, "MMMM").as("mname"),
+          date_format(make_date(year(dt), month(dt), lit(1)), "yyyy-MM-dd")
+            .as("som"),
+          date_format(date_add(dt, 45), "yyyy-MM-dd").as("plus45d"))
+        .orderBy("o_orderkey")
+    }),
+
+    // String→map parsing: build a k:v properties string, parse it back
+    // with str_to_map, and project typed fields out of the map — the
+    // "loosely-typed sidecar column" idiom. The oracle parses the same
+    // constructed string with regexp_extract (DuckDB has no str_to_map;
+    // the contract is value equality, not API mirroring).
+    "q_fn_strmap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("kv", concat(lit("lang:"), col("lang"),
+          lit(",src:"), col("source"), lit(",n:"), col("n_chars")))
+        .withColumn("m", expr("str_to_map(kv, ',', ':')"))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("v_lang"),
+          element_at(col("m"), "src").as("v_src"),
+          element_at(col("m"), "n").cast("long").as("v_n"),
+          size(col("m")).as("n_keys"),
+          concat_ws("|", array_sort(map_keys(col("m")))).as("keys"))
+        .orderBy("doc_id")),
+
+    // Deterministic mode: most frequent l_quantity per return flag, ties
+    // pinned to the smallest value. Distributed shape: ONE (flag, qty)
+    // count aggregate, then a per-flag top-1 window over the already-
+    // aggregated (tiny) counts — never a global sort of the fact table.
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("n_mode"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Ordered string aggregation: nation names per region as one
+    // comma-joined string. WITHIN GROUP (ORDER BY ...) pins the element
+    // order — this is the only hash-safe form of listagg.
+    "q_agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")),
+
+    // Tail read — the reference store's SearchBackward: the most recent
+    // 100 events by offset, returned in forward order. TakeOrdered on the
+    // DESC sort (no full sort), then a 100-row presentation re-sort.
+    "q_scan_tail" -> ((s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("event_id").desc)
+        .limit(100)
+        .select(col("event_id"), graft.Det.tsUs(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    // TPC-H Q6 shape as SQL TEXT: the classic "what-if" revenue scan —
+    // one pass, all three predicates pushed to the parquet scan, exact
+    // decimal product-sum.
+    "q_sql_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q14 shape as SQL TEXT: promo revenue share — conditional
+    // decimal sums, one identical IEEE division at the end on both
+    // engines.
+    "q_sql_q14" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS DOUBLE) AS promo_revenue,
+               COUNT(*) AS n
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_date3" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                    FROM orders)
+         SELECT o_orderkey,
+                CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+                CAST(last_day(d) AS VARCHAR) AS eom,
+                CAST(CAST(d + ((7 - isodow(d)) % 7 + 1) * INTERVAL 1 DAY
+                          AS DATE) AS VARCHAR) AS next_mon,
+                dayname(d) AS dname,
+                monthname(d) AS mname,
+                CAST(make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 1)
+                     AS VARCHAR) AS som,
+                CAST(CAST(d + 45 * INTERVAL 1 DAY AS DATE) AS VARCHAR)
+                  AS plus45d
+         FROM o ORDER BY o_orderkey""",
+    "q_fn_strmap" ->
+      """WITH k AS (SELECT doc_id,
+                           'lang:' || lang || ',src:' || source
+                             || ',n:' || n_chars AS kv
+                    FROM documents)
+         SELECT doc_id,
+                regexp_extract(kv, 'lang:([^,]*)', 1) AS v_lang,
+                regexp_extract(kv, 'src:([^,]*)', 1) AS v_src,
+                CAST(regexp_extract(kv, 'n:([^,]*)', 1) AS BIGINT) AS v_n,
+                CAST(3 AS INT) AS n_keys,
+                'lang|n|src' AS keys
+         FROM k ORDER BY doc_id""",
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+                    FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY l_returnflag
+                     ORDER BY n DESC, l_quantity ASC) AS rn
+                  FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "q_agg_listagg" ->
+      """SELECT r_name,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                COUNT(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_scan_tail" ->
+      """SELECT * FROM (
+           SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us, user_id,
+                  event_type, value
+           FROM events ORDER BY event_id DESC LIMIT 100)
+         ORDER BY event_id""",
+    "q_sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_sql_q14" ->
+      """SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS DOUBLE) AS promo_revenue,
+                COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'"""
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Extras3Spec extends QuerySuiteBase {
+  Seq("q_fn_date3", "q_fn_strmap", "q_agg_mode", "q_agg_listagg",
+    "q_scan_tail", "q_sql_q6", "q_sql_q14")
+    .foreach(checkDeclared(_))
+
+  test("date3: every derived date respects its contract") {
+    val rows = q("q_fn_date3")
+    // end-of-month is never before the date's own day, and always in the
+    // same month; next_mon is 1..7 days ahead and always a Monday.
+    val bad = rows
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d")), "o_orderkey")
+      .where(col("eom") < date_format(col("d"), "yyyy-MM-dd")
+        || month(to_date(col("eom"))) =!= month(col("d"))
+        || datediff(to_date(col("next_mon")), col("d")) < 1
+        || datediff(to_date(col("next_mon")), col("d")) > 7
+        || dayofweek(to_date(col("next_mon"))) =!= 2)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("strmap parses back exactly the fields it was built from") {
+    val bad = q("q_fn_strmap")
+      .join(Tables.documents(spark, sf), "doc_id")
+      .where(col("v_lang") =!= col("lang")
+        || col("v_src") =!= col("source")
+        || col("v_n") =!= col("n_chars"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("mode really is the most frequent quantity per flag") {
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val maxN = counts.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("max_n"))
+    val bad = q("q_agg_mode").join(maxN, "l_returnflag")
+      .where(col("n_mode") =!= col("max_n")).count()
+    assert(bad == 0)
+  }
+
+  test("listagg output is ordered and complete per region") {
+    q("q_agg_listagg").collect().foreach { r =>
+      val parts = r.getAs[String]("nations").split(",").toSeq
+      assert(parts == parts.sorted, "WITHIN GROUP ordering must hold")
+      assert(parts.length == r.getAs[Long]("n"))
+    }
+  }
+
+  test("tail read returns exactly the 100 highest offsets, ascending") {
+    val maxId = Tables.events(spark, sf)
+      .agg(max(col("event_id"))).head().getLong(0)
+    val ids = q("q_scan_tail").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (maxId - 99 to maxId).toSeq)
+  }
+
+  test("SQL-text Q6 equals the DSL formulation") {
+    val dsl = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg((sum(Det.dec(col("l_extendedprice")) * Det.dec(col("l_discount"))))
+        .cast("double").as("revenue"), count(lit(1)).as("n"))
+    assert(q("q_sql_q6").collect().map(_.toString).toSeq
+      == dsl.collect().map(_.toString).toSeq)
+  }
+
+  test("Q14 promo share sits strictly between 0 and 100") {
+    val v = q("q_sql_q14").head().getAs[Double]("promo_revenue")
+    assert(v > 0.0 && v < 100.0)
+  }
+}
