@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Round-3 coverage: calendar-arithmetic round-out (add_months/last_day/
@@ -26,6 +27,21 @@ import graft.Tables
 object Extras3 {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** ONE SQL text for q_sql_cte, parameterized only by the table name —
+    * the same statement (ANSI WITH + window) runs on Spark and DuckDB,
+    * so DSL/SQL drift is impossible by construction. */
+  private def sqlCte(ordersTable: String): String =
+    s"""WITH t AS (SELECT o_custkey, o_orderkey,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                   FROM $ordersTable),
+            r AS (SELECT o_custkey, o_orderkey, p,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY p DESC, o_orderkey) AS rn
+                  FROM t)
+        SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey,
+               CAST(p AS DOUBLE) AS price
+        FROM r WHERE rn <= 2 ORDER BY o_custkey, rn"""
 
   val queries: Map[String, Q] = Map(
     // Calendar arithmetic on the order dates. next_day has no DuckDB
@@ -106,6 +122,70 @@ object Extras3 {
         .select(col("event_id"), graft.Det.tsUs(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")),
+
+    // String-distance + positional string family: levenshtein (the fuzzy
+    // half of dedup pipelines), split_part, instr/strpos, translate,
+    // repeat, reverse.
+    "q_fn_string3" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 12), col("lang")).as("lev"),
+          split_part(col("text"), lit(" "), lit(3)).as("w3"),
+          instr(col("text"), "the").as("pos_the"),
+          translate(col("lang"), "aeiou", "01234").as("tr"),
+          repeat(col("lang"), 3).as("rep3"),
+          reverse(col("lang")).as("rev"))
+        .orderBy("doc_id")),
+
+    // Exact higher-moment aggregates: skewness/kurtosis derived from
+    // integer-exact power sums. The built-in skewness/kurtosis (and
+    // stddev) are streaming-merge formulations whose float error depends
+    // on partition merge order — never hash-safe. Here the quantity is
+    // quantized ×100 to BIGINT, power sums accumulate in DECIMAL(38,0)
+    // (exact, order-free), and both engines derive the statistics from
+    // the same six scalars with an identical IEEE expression tree
+    // (sqrt, not pow(·,1.5) — pow goes through libm and differs by ulps).
+    "q_agg_moments" -> ((s, d) => {
+      val qv = (col("l_quantity") * 100).cast("long")
+      val big = DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qv.cast(big)).as("s1"),
+          sum((qv * qv).cast(big)).as("s2"),
+          sum((qv * qv * qv).cast(big)).as("s3"),
+          sum((qv * qv * qv * qv).cast(big)).as("s4"),
+          count_if(col("l_quantity") > 25).as("n_big"))
+        .select(col("l_returnflag"), col("n"), col("n_big"),
+          col("s1").cast("double").as("m1"),
+          col("s2").cast("double").as("m2"),
+          col("s3").cast("double").as("m3"),
+          col("s4").cast("double").as("m4"))
+        .withColumn("mean", col("m1") / col("n"))
+        .withColumn("ex2", col("m2") / col("n"))
+        .withColumn("ex3", col("m3") / col("n"))
+        .withColumn("v",
+          col("ex2") - col("mean") * col("mean"))
+        .withColumn("skew",
+          (col("ex3") - lit(3.0) * col("mean") * col("ex2")
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+            / (col("v") * sqrt(col("v"))))
+        .withColumn("kurt",
+          (col("m4") / col("n") - lit(4.0) * col("mean") * col("ex3")
+            + lit(6.0) * col("mean") * col("mean") * col("ex2")
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+            / (col("v") * col("v")) - lit(3.0))
+        .select(col("l_returnflag"), col("n"), col("n_big"), col("mean"),
+          col("v"), col("skew"), col("kurt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CTE + window SQL TEXT: WITH-clauses through the ANTLR parser — the
+    // identical statement runs on both engines.
+    "q_sql_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(sqlCte("v_orders"))
+    }),
 
     // TPC-H Q6 shape as SQL TEXT: the classic "what-if" revenue scan —
     // one pass, all three predicates pushed to the parquet scan, exact
@@ -196,6 +276,39 @@ object Extras3 {
                   event_type, value
            FROM events ORDER BY event_id DESC LIMIT 100)
          ORDER BY event_id""",
+    "q_fn_string3" ->
+      """SELECT doc_id,
+                CAST(levenshtein(substr(text, 1, 12), lang) AS INT) AS lev,
+                split_part(text, ' ', 3) AS w3,
+                CAST(strpos(text, 'the') AS INT) AS pos_the,
+                translate(lang, 'aeiou', '01234') AS tr,
+                repeat(lang, 3) AS rep3,
+                reverse(lang) AS rev
+         FROM documents ORDER BY doc_id""",
+    "q_agg_moments" ->
+      """WITH a AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  count_if(l_quantity > 25) AS n_big,
+                  CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS m1,
+                  CAST(SUM(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS m2,
+                  CAST(SUM(CAST(q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS m3,
+                  CAST(SUM(CAST(q*q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS m4
+           FROM (SELECT l_returnflag, l_quantity,
+                        CAST(l_quantity * 100 AS BIGINT) AS q FROM lineitem)
+           GROUP BY l_returnflag),
+         b AS (
+           SELECT l_returnflag, n, n_big,
+                  m1 / n AS mean, m2 / n AS ex2, m3 / n AS ex3, m4 / n AS ex4
+           FROM a),
+         c AS (
+           SELECT *, ex2 - mean * mean AS v FROM b)
+         SELECT l_returnflag, n, CAST(n_big AS BIGINT) AS n_big, mean, v,
+                (ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean)
+                  / (v * sqrt(v)) AS skew,
+                (ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2
+                 - 3.0 * mean * mean * mean * mean) / (v * v) - 3.0 AS kurt
+         FROM c ORDER BY l_returnflag""",
+    "q_sql_cte" -> sqlCte("orders"),
     "q_sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)

@@ -4,8 +4,49 @@ import org.apache.spark.sql.functions._
 
 class Extras3Spec extends QuerySuiteBase {
   Seq("q_fn_date3", "q_fn_strmap", "q_agg_mode", "q_agg_listagg",
-    "q_scan_tail", "q_sql_q6", "q_sql_q14")
+    "q_scan_tail", "q_sql_q6", "q_sql_q14", "q_fn_string3",
+    "q_agg_moments", "q_sql_cte")
     .foreach(checkDeclared(_))
+
+  test("moments: exact mean/variance agree with built-in avg/var_pop") {
+    // The exact-decimal derivation must land within float tolerance of
+    // the streaming built-ins (which are not hash-safe but are accurate).
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity") * 100).as("a"),
+        var_pop(col("l_quantity") * 100).as("vp"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    q("q_agg_moments").collect().foreach { r =>
+      val (a, vp) = builtin(r.getString(0))
+      assert(math.abs(r.getAs[Double]("mean") - a) < 1e-6)
+      assert(math.abs(r.getAs[Double]("v") - vp) < 1e-3)
+    }
+  }
+
+  test("moments: skewness/kurtosis agree with the streaming built-ins") {
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    q("q_agg_moments").collect().foreach { r =>
+      val (sk, ku) = builtin(r.getString(0))
+      assert(math.abs(r.getAs[Double]("skew") - sk) < 1e-6)
+      assert(math.abs(r.getAs[Double]("kurt") - ku) < 1e-6)
+    }
+  }
+
+  test("CTE SQL text: at most 2 rows per customer, rank-1 price >= rank-2") {
+    val rows = q("q_sql_cte").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.values.forall(_.length <= 2))
+    rows.values.filter(_.length == 2).foreach { g =>
+      val byRn = g.sortBy(_.getAs[Int]("rn"))
+      assert(byRn(0).getAs[Double]("price") >= byRn(1).getAs[Double]("price"))
+    }
+  }
 
   test("date3: every derived date respects its contract") {
     val rows = q("q_fn_date3")
