@@ -187,6 +187,47 @@ object Extras3 {
       s.sql(sqlCte("v_orders"))
     }),
 
+    // Deterministic train/val/test split — the reproducible 80/10/10
+    // assignment every training pipeline needs. The split key is a
+    // portable 60-bit md5 hash of a salted doc_id (Det.md5long), so the
+    // assignment is stable across engines, partitionings, and reruns —
+    // never rand()/TABLESAMPLE, which are both engine- and
+    // partitioning-dependent.
+    "q_llm_split" -> ((s, d) => {
+      val bucket = pmod(graft.Det.md5long(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang", "split")
+    }),
+
+    // Token-budget sequence packing: assign docs to fixed-budget shards
+    // (20k tokens) in doc_id order within each language — the "pack
+    // documents into training shards" step. Shard id = exclusive-prefix
+    // token count div budget, a pure window cumsum: one shuffle on the
+    // partition key, no sequential driver loop. Scale note: partitioning
+    // by lang bounds each window; a single global pack would serialize —
+    // at 100 TB you pack hierarchically (hash-bucket first, lang-style
+    // partitions second), which this shape already is.
+    "q_llm_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("prev", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("shard", floor(col("prev") / 20000L))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_toks"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "shard")
+    }),
+
     // TPC-H Q6 shape as SQL TEXT: the classic "what-if" revenue scan —
     // one pass, all three predicates pushed to the parquet scan, exact
     // decimal product-sum.
@@ -309,6 +350,32 @@ object Extras3 {
                  - 3.0 * mean * mean * mean * mean) / (v * v) - 3.0 AS kurt
          FROM c ORDER BY l_returnflag""",
     "q_sql_cte" -> sqlCte("orders"),
+    "q_llm_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+                           CAST(('0x' || substr(md5('split:' || doc_id), 1, 15))
+                                AS BIGINT) % 100 AS bucket
+                    FROM documents)
+         SELECT lang,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM b GROUP BY 1, 2 ORDER BY lang, split""",
+    "q_llm_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                    FROM documents),
+            c AS (SELECT doc_id, lang, toks,
+                         COALESCE(SUM(toks) OVER
+                           (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS prev
+                  FROM t)
+         SELECT lang, CAST(prev // 20000 AS BIGINT) AS shard,
+                COUNT(*) AS n_docs,
+                CAST(SUM(toks) AS BIGINT) AS total_toks,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY lang, shard""",
     "q_sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)

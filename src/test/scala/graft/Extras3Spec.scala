@@ -5,8 +5,34 @@ import org.apache.spark.sql.functions._
 class Extras3Spec extends QuerySuiteBase {
   Seq("q_fn_date3", "q_fn_strmap", "q_agg_mode", "q_agg_listagg",
     "q_scan_tail", "q_sql_q6", "q_sql_q14", "q_fn_string3",
-    "q_agg_moments", "q_sql_cte")
+    "q_agg_moments", "q_sql_cte", "q_llm_split", "q_llm_pack")
     .foreach(checkDeclared(_))
+
+  test("split: partitions the corpus, ~80/10/10, and is rerun-stable") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = q("q_llm_split").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n_docs")).sum }
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // Deterministic: a second evaluation is bit-identical.
+    assert(q("q_llm_split").collect().map(_.toString).toSeq
+      == rows.map(_.toString).toSeq)
+  }
+
+  test("pack: shards cover every doc and respect the token budget") {
+    val packed = q("q_llm_pack").collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == total)
+    // Every shard except possibly a language's last starts because the
+    // previous one crossed the 20k budget: all non-final shards of a lang
+    // must hold >= 20000 - (max doc token len) tokens. Weak-form check:
+    // per lang, shard ids are contiguous from 0.
+    packed.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("shard")).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq)
+    }
+  }
 
   test("moments: exact mean/variance agree with built-in avg/var_pop") {
     // The exact-decimal derivation must land within float tolerance of
