@@ -29,6 +29,33 @@ object EventOps {
           col("n"), col("sum_v"))
         .orderBy("ws_us", "event_type")),
 
+    // The SAME tumbling aggregation executed as a REAL Structured
+    // Streaming query: file stream source over the events parquet →
+    // incremental windowed agg under MicroBatchExecution → memory sink,
+    // Trigger.AvailableNow (processes the full backlog, then self-stops).
+    // Complete-mode output over a static input is deterministic, and the
+    // sums are exact decimals — so actual streaming execution lands in
+    // the DuckDB-graded surface, not just in MemoryStream tests. The
+    // 100 TB shape is identical: the file source feeds offsets
+    // incrementally; state is bounded by the (window × type) key space.
+    "q_stream_live_tumbling" -> ((s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.StreamOps.tumbling(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("live_tumbling")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("live_tumbling")
+        .select(tsUs(col("ws")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_v"))
+        .orderBy("ws_us", "event_type")
+    }),
+
     // Sliding 1h window, 15-minute slide (each event in 4 windows).
     "q_stream_sliding" -> ((s, d) =>
       Tables.events(s, d)
@@ -117,6 +144,13 @@ object EventOps {
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS ws_us,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
+    // The live streaming run computes the identical aggregation, so it
+    // shares the tumbling oracle statement.
+    "q_stream_live_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS ws_us,
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v

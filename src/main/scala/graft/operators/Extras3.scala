@@ -187,6 +187,20 @@ object Extras3 {
       s.sql(sqlCte("v_orders"))
     }),
 
+    // CSV source/sink round-trip in the graded surface: write the nation
+    // dim as headered CSV, read it back with an explicit schema (never
+    // inference — inference is a full extra pass and type-unstable), and
+    // prove value equality against the parquet original via the oracle.
+    "q_source_csv" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv_nation_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(tmp)
+        .orderBy("n_nationkey")
+    }),
+
     // Deterministic train/val/test split — the reproducible 80/10/10
     // assignment every training pipeline needs. The split key is a
     // portable 60-bit md5 hash of a salted doc_id (Det.md5long), so the
@@ -350,6 +364,8 @@ object Extras3 {
                  - 3.0 * mean * mean * mean * mean) / (v * v) - 3.0 AS kurt
          FROM c ORDER BY l_returnflag""",
     "q_sql_cte" -> sqlCte("orders"),
+    "q_source_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_llm_split" ->
       """WITH b AS (SELECT lang, n_chars,
                            CAST(('0x' || substr(md5('split:' || doc_id), 1, 15))

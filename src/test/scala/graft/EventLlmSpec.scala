@@ -9,8 +9,14 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_text_tokens", "q_llm_tfidf", "q_llm_text_stats",
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
     "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
-    "q_llm_embed_norm", "q_ts_resample", "q_llm_dedup_clusters")
+    "q_llm_embed_norm", "q_ts_resample", "q_llm_dedup_clusters",
+    "q_stream_live_tumbling", "q_source_csv")
     .foreach(checkDeclared(_))
+
+  test("live streaming tumbling equals the batch twin bit-for-bit") {
+    assert(q("q_stream_live_tumbling").collect().map(_.toString).toSeq
+      == q("q_stream_tumbling").collect().map(_.toString).toSeq)
+  }
 
   test("dedup clusters: both endpoints of every pair share one cluster") {
     val cl = q("q_llm_dedup_clusters").collect()
