@@ -26,7 +26,7 @@ class ContractSpec extends QuerySuiteBase {
       operators.EventOps.queries, operators.LlmOps.queries,
       operators.LlmSketches.queries, operators.Misc.queries,
       operators.Multimodal.queries, operators.Extras.queries,
-      operators.Extras2.queries)
+      operators.Extras2.queries, operators.Extras3.queries)
     val all = families.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query keys across families: $dupes")
