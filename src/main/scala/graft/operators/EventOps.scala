@@ -56,6 +56,37 @@ object EventOps {
         .orderBy("ws_us", "event_type")
     }),
 
+    // Stream-STATIC join as a REAL streaming query: the event stream is
+    // enriched against the broadcast customer dimension (user_id is a
+    // customer key in the fixture) and aggregated per (window × market
+    // segment) — the canonical "enrich a stream with a dim table" shape.
+    // Same AvailableNow/memory-sink harness as q_stream_live_tumbling;
+    // at scale the static side stays broadcast (no stream repartition).
+    "q_stream_live_join" -> ((s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val q = stream
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("w.start").as("ws"), col("c_mktsegment"),
+          col("n"), col("sum_v"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("live_join")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("live_join")
+        .select(tsUs(col("ws")).as("ws_us"), col("c_mktsegment"),
+          col("n"), col("sum_v"))
+        .orderBy("ws_us", "c_mktsegment")
+    }),
+
     // Sliding 1h window, 15-minute slide (each event in 4 windows).
     "q_stream_sliding" -> ((s, d) =>
       Tables.events(s, d)
@@ -155,6 +186,12 @@ object EventOps {
                 event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""",
+    "q_stream_live_join" ->
+      """SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS ws_us,
+                c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY ws_us, c_mktsegment""",
     "q_stream_sliding" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
                            epoch_us(ts::TIMESTAMP) AS tu FROM events),

@@ -10,8 +10,21 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
     "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
     "q_llm_embed_norm", "q_ts_resample", "q_llm_dedup_clusters",
-    "q_stream_live_tumbling", "q_source_csv")
+    "q_stream_live_tumbling", "q_source_csv", "q_stream_live_join")
     .foreach(checkDeclared(_))
+
+  test("live stream-static join equals the equivalent batch join") {
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"),
+        col("c_mktsegment")), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+      .select(Det.tsUs(col("w.start")).as("ws_us"), col("c_mktsegment"),
+        col("n"), col("sum_v"))
+      .orderBy("ws_us", "c_mktsegment")
+    assert(q("q_stream_live_join").collect().map(_.toString).toSeq
+      == batch.collect().map(_.toString).toSeq)
+  }
 
   test("live streaming tumbling equals the batch twin bit-for-bit") {
     assert(q("q_stream_live_tumbling").collect().map(_.toString).toSeq
