@@ -20,19 +20,13 @@ object Smoke {
     df.show(5, truncate = false)
 
     // Streaming smoke: the same tumbling aggregation as q_stream_tumbling,
-    // driven incrementally from a file stream of the events table.
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // driven incrementally from a file stream of the events table (shared
+    // harness with the graded live queries).
+    import graft.streaming.StreamOps
     val sf = "/root/testdata/sf0.001"
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = graft.streaming.StreamOps.tumbling(stream)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName("smoke_stream").start()
-    q.processAllAvailable(); q.stop()
-    val sn = spark.table("smoke_stream").count()
+    val sn = StreamOps.runToMemory(
+      StreamOps.tumbling(StreamOps.eventsFileStream(spark, sf)),
+      "smoke_stream").count()
     println(s"SMOKE streaming windows=$sn ${if (sn > 0) "PASS" else "FAIL"}")
 
     spark.stop()

@@ -39,18 +39,10 @@ object EventOps {
     // 100 TB shape is identical: the file source feeds offsets
     // incrementally; state is bounded by the (window × type) key space.
     "q_stream_live_tumbling" -> ((s, d) => {
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = graft.streaming.StreamOps.tumbling(stream)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("live_tumbling")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("live_tumbling")
+      import graft.streaming.StreamOps
+      StreamOps.runToMemory(
+          StreamOps.tumbling(StreamOps.eventsFileStream(s, d)),
+          "live_tumbling")
         .select(tsUs(col("ws")).as("ws_us"), col("event_type"),
           col("n"), col("sum_v"))
         .orderBy("ws_us", "event_type")
@@ -63,25 +55,16 @@ object EventOps {
     // Same AvailableNow/memory-sink harness as q_stream_live_tumbling;
     // at scale the static side stays broadcast (no stream repartition).
     "q_stream_live_join" -> ((s, d) => {
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import graft.streaming.StreamOps
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
-      val q = stream
+      val enriched = StreamOps.eventsFileStream(s, d)
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
         .select(col("w.start").as("ws"), col("c_mktsegment"),
           col("n"), col("sum_v"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("live_join")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("live_join")
+      StreamOps.runToMemory(enriched, "live_join")
         .select(tsUs(col("ws")).as("ws_us"), col("c_mktsegment"),
           col("n"), col("sum_v"))
         .orderBy("ws_us", "c_mktsegment")

@@ -146,7 +146,9 @@ object Extras3 {
     // the same six scalars with an identical IEEE expression tree
     // (sqrt, not pow(·,1.5) — pow goes through libm and differs by ulps).
     "q_agg_moments" -> ((s, d) => {
-      val qv = (col("l_quantity") * 100).cast("long")
+      // round-then-cast (the Det.q6 idiom): a bare cast TRUNCATES in Spark
+      // but ROUNDS in DuckDB — 28.09*100 = 2808.9999... would diverge.
+      val qv = round(col("l_quantity") * 100).cast("long")
       val big = DecimalType(38, 0)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -192,7 +194,11 @@ object Extras3 {
     // inference — inference is a full extra pass and type-unstable), and
     // prove value equality against the parquet original via the oracle.
     "q_source_csv" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv_nation_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // Fresh per-invocation temp dir: a fixed path would race between
+      // concurrent sessions grading the same fixture (overwrite deletes
+      // under a concurrent reader). 25 rows; /tmp hygiene handles it.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_nation").toString + "/nation"
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").csv(tmp)
       s.read.option("header", "true")
@@ -349,7 +355,8 @@ object Extras3 {
                   CAST(SUM(CAST(q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS m3,
                   CAST(SUM(CAST(q*q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS m4
            FROM (SELECT l_returnflag, l_quantity,
-                        CAST(l_quantity * 100 AS BIGINT) AS q FROM lineitem)
+                        CAST(round(l_quantity * 100) AS BIGINT) AS q
+                 FROM lineitem)
            GROUP BY l_returnflag),
          b AS (
            SELECT l_returnflag, n, n_big,

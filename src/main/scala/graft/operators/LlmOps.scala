@@ -232,7 +232,11 @@ object LlmOps {
       // scalar aggregate per round — which doubles as the action that
       // materializes the round's persist() — replaces the
       // join+filter+count change probe.
-      var lblSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      // coalesce: sum over an EMPTY label frame is NULL (a pair-free
+      // corpus must yield an empty result, not an NPE).
+      def sumOf(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      var lblSum = sumOf(labels)
       var changed = true
       while (changed) {
         val prop = edges
@@ -241,7 +245,7 @@ object LlmOps {
         val next = labels.select(col("id"), col("lbl")).unionByName(prop)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .persist()
-        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        val nextSum = sumOf(next)
         changed = nextSum != lblSum
         lblSum = nextSum
         labels.unpersist()

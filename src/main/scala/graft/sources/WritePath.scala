@@ -32,24 +32,33 @@ object WritePath {
     * unique tie-breaker). `zipWithIndex` is exactly the two-pass
     * distributed assignment described above (its first job counts rows
     * per partition; only counts reach the driver). */
-  def withOffsets(df: DataFrame, orderCols: Seq[Column], start: Long): DataFrame = {
+  def withOffsets(df: DataFrame, orderCols: Seq[Column], start: Long): DataFrame =
+    withOffsetsManaged(df, orderCols, start)._1
+
+  /** As withOffsets, plus a release() handle: the sorted batch is PINNED
+    * (persisted at MEMORY_AND_DISK) so zipWithIndex's per-partition count
+    * job and the subsequent terminal action read the SAME materialization
+    * — a non-deterministic source plan (sampling, rand, changing input)
+    * cannot make the prefix-sum bases disagree with the rows actually
+    * written, so the contiguity contract holds unconditionally. The
+    * caller MUST invoke release() after its terminal action, or the
+    * pinned blocks live until the RDD is GC'd (a long-lived appender
+    * would accumulate block-manager storage batch after batch). */
+  def withOffsetsManaged(df: DataFrame, orderCols: Seq[Column],
+      start: Long): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
-    // localCheckpoint (eager) pins ONE materialization of the sorted batch:
-    // zipWithIndex's per-partition count job and the subsequent write both
-    // read the same checkpointed partitions, so a non-deterministic source
-    // plan (sampling, rand, changing input) cannot make the prefix-sum
-    // bases disagree with the rows actually written — the contiguity
-    // contract holds unconditionally, not just for deterministic plans.
-    val sorted = df.repartitionByRange(orderCols: _*)
+    val rdd = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .localCheckpoint()
+      .rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         "offset", LongType, nullable = false))
-    val withOff = sorted.rdd.zipWithIndex().map { case (row, i) =>
+    val withOff = rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (start + i))
     }
-    spark.createDataFrame(withOff, schema)
+    (spark.createDataFrame(withOff, schema),
+      () => { rdd.unpersist(blocking = false); () })
   }
 
   /** Append `batch` to the parquet log at `dir`, assigning offsets after
@@ -82,8 +91,9 @@ object WritePath {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => 0L
       }
-    val withOff = withOffsets(batch, orderCols, tail)
-    withOff.write.mode("append").parquet(dir)
+    val (withOff, release) = withOffsetsManaged(batch, orderCols, tail)
+    try withOff.write.mode("append").parquet(dir)
+    finally release()
     // The written row count, read back from the offsets just assigned —
     // never a third recomputation of the (possibly non-deterministic
     // source) batch plan.

@@ -30,6 +30,36 @@ case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 object StreamOps {
   import Det._
 
+  /** File-stream source over the events table of a fixture dir: batch
+    * read pins the raw schema (ts as parquet-ns long), the stream applies
+    * the same ns→µs conversion as Tables.events. Shared by the graded
+    * live queries and the smoke gate so the glob/conversion logic cannot
+    * drift between them. The require fails LOUDLY if the glob matches no
+    * file (pathGlobFilter only matches leaf file names — a fixture
+    * rewritten as an events.parquet/ DIRECTORY would otherwise stream
+    * zero rows and silently score wrong). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    require(new java.io.File(s"$dir/events.parquet").isFile,
+      s"$dir/events.parquet must be a single parquet FILE for the " +
+        "pathGlobFilter file-stream source")
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a (streaming) frame to completion into a memory sink under
+    * Trigger.AvailableNow and return the sink table. */
+  def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   /** Tumbling 1h counts per event type (same logic as q_stream_tumbling). */
   def tumbling(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
