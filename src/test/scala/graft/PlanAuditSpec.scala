@@ -97,4 +97,56 @@ class PlanAuditSpec extends QuerySuiteBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial+final HashAggregate pair:\n" + p)
   }
+
+  test("tail read plans as TakeOrderedAndProject (per-partition heaps)") {
+    assert(plan("q_scan_tail").contains("TakeOrderedAndProject"))
+  }
+
+  test("token packing: window + aggregation share one partitioning") {
+    // The groupBy(lang, shard) must reuse the window's lang partitioning
+    // — exchanges: one for the window, one for the presentation sort.
+    val p = plan("q_llm_pack")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "packing should not re-shuffle between window and aggregation:\n" + p)
+  }
+
+  test("exact moments: power sums aggregate partially before the shuffle") {
+    val p = plan("q_agg_moments")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair:\n" + p)
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The Spark analog of the reference store's pbloom blob-filter skip,
+    // at JOIN level: with a selective build side, Catalyst injects a
+    // bloom-filter runtime filter into the probe-side scan. Thresholds
+    // are lowered because the fixture is tiny; at real scale the defaults
+    // (10MB creation side) trigger on the same shape.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // The fixture dims fit under the broadcast threshold, so Catalyst
+      // would see no shuffle join to protect — at 100 TB this conf is at
+      // its default and the same join IS a shuffle join.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .hint("shuffle_merge")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey")
+          === org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        "expected an injected bloom-filter runtime filter:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
