@@ -42,7 +42,11 @@ object LlmOps {
     * BOTH sides. This per-partition scala loop does the same work in
     * ~0.3 s. Output matches string_split+slice exactly (single-space
     * corpus; docs with < 3 words yield nothing on both engines). */
-  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, shingle, per-doc distinct-shingle count) in ONE corpus
+    * pass — the count rides on every row so no consumer needs a second
+    * aggregation pass over the kernel (shared by the exact near-dup
+    * pipeline and the MinHash-LSH verification step). */
+  private[operators] def shingleTrips(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -50,9 +54,12 @@ object LlmOps {
         val w = text.split(" ", -1) // -1: keep trailing empty tokens, like
                                     // Spark split() and DuckDB string_split
         if (w.length < 3) Iterator.empty
-        else w.sliding(3).map(_.mkString(" ")).toSet.iterator.map((sh: String) => (id, sh))
+        else {
+          val set = w.sliding(3).map(_.mkString(" ")).toSet
+          set.iterator.map(sh => (id, sh, set.size))
+        }
       })
-      .toDF("doc_id", "s0")
+      .toDF("doc_id", "s0", "nsh")
   }
 
   /** Component quantized to an integer at 1e-6 resolution. */
@@ -80,26 +87,15 @@ object LlmOps {
     * for a sort that the join immediately destroys). */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ONE corpus pass: every shingle row carries its doc's distinct-shingle
-    // count, so set sizes ride along with the intersection instead of
-    // needing their own aggregation. (The previous self-join formulation
-    // ran the shingle kernel three times — once per join side, once for
-    // per-doc counts — and paid two extra shuffles for the size joins.)
-    // Shingles travel as 64-bit xxhash64 values, not strings: ~8× smaller
-    // shuffle payload, primitive-long keys; collisions are
-    // ~|shingles|²/2⁶⁴ — immaterial even at 100 TB corpus scale.
-    val trips = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val w = text.split(" ", -1) // -1: keep trailing empty tokens, like
-                                    // Spark split() and DuckDB string_split
-        if (w.length < 3) Iterator.empty
-        else {
-          val set = w.sliding(3).map(_.mkString(" ")).toSet
-          set.iterator.map(sh => (id, sh, set.size))
-        }
-      })
-      .toDF("doc_id", "s0", "nsh")
+    // ONE corpus pass (shingleTrips): every shingle row carries its doc's
+    // distinct-shingle count, so set sizes ride along with the
+    // intersection instead of needing their own aggregation. (The earlier
+    // self-join formulation ran the shingle kernel three times — once per
+    // join side, once for per-doc counts — and paid two extra shuffles
+    // for the size joins.) Shingles travel as 64-bit xxhash64 values, not
+    // strings: ~8× smaller shuffle payload, primitive-long keys;
+    // collisions are ~|shingles|²/2⁶⁴ — immaterial even at 100 TB.
+    val trips = shingleTrips(s, d)
       .select(col("doc_id"), xxhash64(col("s0")).as("s"), col("nsh"))
     // Posting list per shingle: group by hash, emit every doc pair inside
     // the list from a per-group Scala loop (no per-pair interpreted HOF,

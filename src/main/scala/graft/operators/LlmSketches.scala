@@ -72,7 +72,7 @@ object LlmSketches {
     // HOF formulation cost 27 s at sf0.1; this runs in ~2 s).
     "q_llm_dedup_minhash" -> ((s, d) => {
       val p = 2147483647L
-      val rows = LlmOps.shingleRows(s, d)
+      val rows = LlmOps.shingleTrips(s, d)
       val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
       val minCols = (0 until 16).map(j =>
         min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
@@ -89,16 +89,18 @@ object LlmSketches {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Exact verification on the candidate set only.
-      val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      val cnt = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      // Exact verification on the candidate set only. The per-doc shingle
+      // counts ride on the rows (shingleTrips), so no count aggregation
+      // or size joins — two fewer shuffles, one fewer kernel pass.
+      val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"),
+        col("nsh"))
       cand
         .join(ex.as("a"), col("a.doc_id") === col("doc_a"))
         .join(ex.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .agg(count(lit(1)).as("inter"),
+          min(col("a.nsh")).cast("long").as("na"),
+          min(col("b.nsh")).cast("long").as("nb"))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .where(col("jaccard") >= 0.6)
