@@ -219,8 +219,12 @@ object LlmOps {
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .persist()
-      var labels = edges.select(col("doc_a").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
+      // Seed with min(self, neighbors) — the same shuffle a distinct-ids
+      // init would cost, but it IS the first propagation round.
+      var labels = edges
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("doc_b")).as("mnb"))
+        .select(col("id"), least(col("id"), col("mnb")).as("lbl"))
         .persist()
       // Convergence check without a per-round join: labels only ever
       // DECREASE under min-propagation (next = min(own, neighbors')), so
