@@ -28,6 +28,12 @@ object Extras3 {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Session-lifetime scratch dir for the CSV round-trip — unique per
+    * JVM, reused across invocations (overwrite mode), so nothing
+    * accumulates across verify/bench/test cycles. */
+  private lazy val csvTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_csv_nation").toString
+
   /** ONE SQL text for q_sql_cte, parameterized only by the table name —
     * the same statement (ANSI WITH + window) runs on Spark and DuckDB,
     * so DSL/SQL drift is impossible by construction. */
@@ -194,11 +200,11 @@ object Extras3 {
     // inference — inference is a full extra pass and type-unstable), and
     // prove value equality against the parquet original via the oracle.
     "q_source_csv" -> ((s, d) => {
-      // Fresh per-invocation temp dir: a fixed path would race between
-      // concurrent sessions grading the same fixture (overwrite deletes
-      // under a concurrent reader). 25 rows; /tmp hygiene handles it.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv_nation").toString + "/nation"
+      // ONE unique temp dir per JVM (lazy val): distinct processes cannot
+      // race on a shared fixed path, and repeated invocations within a
+      // session overwrite in place instead of leaking a directory per
+      // call.
+      val tmp = csvTmpDir + "/nation"
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").csv(tmp)
       s.read.option("header", "true")

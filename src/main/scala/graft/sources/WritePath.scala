@@ -32,6 +32,12 @@ object WritePath {
     * unique tie-breaker). `zipWithIndex` is exactly the two-pass
     * distributed assignment described above (its first job counts rows
     * per partition; only counts reach the driver). */
+  /** Convenience form of withOffsetsManaged that leaves block release to
+    * the ContextCleaner: the pinned blocks are unpersisted asynchronously
+    * once the returned frame (and its RDD) become unreachable after the
+    * caller's action. A long-lived appender should prefer
+    * withOffsetsManaged and release() deterministically after its write,
+    * as append() does. */
   def withOffsets(df: DataFrame, orderCols: Seq[Column], start: Long): DataFrame =
     withOffsetsManaged(df, orderCols, start)._1
 
@@ -40,10 +46,9 @@ object WritePath {
     * job and the subsequent terminal action read the SAME materialization
     * — a non-deterministic source plan (sampling, rand, changing input)
     * cannot make the prefix-sum bases disagree with the rows actually
-    * written, so the contiguity contract holds unconditionally. The
-    * caller MUST invoke release() after its terminal action, or the
-    * pinned blocks live until the RDD is GC'd (a long-lived appender
-    * would accumulate block-manager storage batch after batch). */
+    * written, so the contiguity contract holds unconditionally. Invoke
+    * release() after the terminal action for deterministic block frees;
+    * otherwise the ContextCleaner reclaims them only at GC time. */
   def withOffsetsManaged(df: DataFrame, orderCols: Seq[Column],
       start: Long): (DataFrame, () => Unit) = {
     val spark = df.sparkSession

@@ -39,10 +39,16 @@ object StreamOps {
     * rewritten as an events.parquet/ DIRECTORY would otherwise stream
     * zero rows and silently score wrong). */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    require(new java.io.File(s"$dir/events.parquet").isFile,
+    // Hadoop FS, not java.io.File: the fixture dir may live on any
+    // filesystem (hdfs://, s3a://) at scale. Checked BEFORE the schema
+    // read so an absent or directory-shaped events.parquet fails with
+    // THIS message, not a generic scan error.
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path) && fs.getFileStatus(path).isFile,
       s"$dir/events.parquet must be a single parquet FILE for the " +
         "pathGlobFilter file-stream source")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
