@@ -80,7 +80,27 @@ object Multimodal {
         .mapPartitions(framePartition)
         .toDF()
         .orderBy("doc_id", "frame_idx")
-    })
+    }),
+
+    // "Resize": nearest-neighbor downsample of the payload to a fixed
+    // 8-point thumbnail (sample positions i·(n−1)/7 — the 1-D analog of
+    // image nearest-neighbor resize). Sampling runs in char space, which
+    // IS byte space for this ASCII corpus (the same equivalence the
+    // frames oracle relies on; DuckDB 1.0 has no BLOB substring). Pure
+    // per-row arithmetic — no shuffle, fully parallel; a real image
+    // resize swaps the sampling expression for a decode+resample kernel
+    // with the SAME plan shape.
+    "q_llm_resize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").as("b"))
+        .withColumn("n", length(col("b")))
+        .where(col("n") >= 8)
+        .select(col("doc_id"), col("n").as("orig_len"),
+          concat_ws("", transform(sequence(lit(0), lit(7)), i =>
+            col("b").substr(
+              (lit(1) + floor(i * (col("n") - 1) / 7)).cast("int"),
+              lit(1)))).as("thumb"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,6 +121,18 @@ object Multimodal {
                 CAST(i * 64 AS INT) AS frame_off,
                 CAST(least(64, L - i * 64) AS INT) AS frame_len,
                 md5(substr(text, i * 64 + 1, 64)) AS fdigest
-         FROM f WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"""
+         FROM f WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""",
+    "q_llm_resize" ->
+      """WITH p AS (SELECT doc_id, text AS b, length(text) AS n
+                    FROM documents),
+            s AS (SELECT doc_id, n, g.i,
+                         substr(b, CAST(1 + (g.i * (n - 1)) // 7 AS INT), 1)
+                           AS h
+                  FROM p
+                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g
+                  WHERE n >= 8)
+         SELECT doc_id, CAST(n AS INT) AS orig_len,
+                string_agg(h, '' ORDER BY i) AS thumb
+         FROM s GROUP BY doc_id, n ORDER BY doc_id"""
   )
 }

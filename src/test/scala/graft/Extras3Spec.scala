@@ -5,8 +5,21 @@ import org.apache.spark.sql.functions._
 class Extras3Spec extends QuerySuiteBase {
   Seq("q_fn_date3", "q_fn_strmap", "q_agg_mode", "q_agg_listagg",
     "q_scan_tail", "q_sql_q6", "q_sql_q14", "q_fn_string3",
-    "q_agg_moments", "q_sql_cte", "q_llm_split", "q_llm_pack")
+    "q_agg_moments", "q_sql_cte", "q_llm_split", "q_llm_pack",
+    "q_llm_resize")
     .foreach(checkDeclared(_))
+
+  test("resize: 8-char thumbnail whose ends are the payload's ends") {
+    val bad = q("q_llm_resize")
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .where(length(col("thumb")) =!= 8
+        || substring(col("thumb"), 1, 1) =!= substring(col("text"), 1, 1)
+        || substring(col("thumb"), 8, 1) =!=
+           substring(col("text"), -1, 1))
+      .count()
+    assert(bad == 0)
+  }
 
   test("split: partitions the corpus, ~80/10/10, and is rerun-stable") {
     val total = Tables.documents(spark, sf).count()
