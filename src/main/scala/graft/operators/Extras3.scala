@@ -34,6 +34,34 @@ object Extras3 {
   private lazy val csvTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft_csv_nation").toString
 
+  /** ONE SQL text for q_sql_recursive, parameterized only by the events
+    * projection (Spark reads a pre-converted µs temp view; DuckDB derives
+    * µs from the ns timestamps) — the RECURSIVE body is shared verbatim.
+    * Sessionization as chain recursion: next-event edges within a 30-min
+    * gap are strictly event_id-increasing, so UNION ALL recursion
+    * terminates (Spark does not yet support UNION-dedup recursion —
+    * RecursiveCteProbe pins that); depth = max session length. */
+  private def sqlRecursive(evSelect: String): String =
+    s"""WITH RECURSIVE
+          ev AS ($evSelect),
+          nxt AS (SELECT user_id, event_id, us,
+                         lead(event_id) OVER (PARTITION BY user_id
+                                              ORDER BY us, event_id) AS nid,
+                         lead(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS nus
+                  FROM ev),
+          edges AS (SELECT event_id AS src, nid AS dst FROM nxt
+                    WHERE nid IS NOT NULL AND nus - us <= 1800000000),
+          roots AS (SELECT event_id FROM ev
+                    WHERE event_id NOT IN (SELECT dst FROM edges)),
+          chain(root, node) AS (
+            SELECT event_id, event_id FROM roots
+            UNION ALL
+            SELECT c.root, e.dst FROM chain c JOIN edges e ON e.src = c.node)
+       SELECT root AS session_root, COUNT(*) AS n_events,
+              MIN(node) AS first_event, MAX(node) AS last_event
+       FROM chain GROUP BY root ORDER BY session_root"""
+
   /** ONE SQL text for q_sql_cte, parameterized only by the table name —
     * the same statement (ANSI WITH + window) runs on Spark and DuckDB,
     * so DSL/SQL drift is impossible by construction. */
@@ -193,6 +221,20 @@ object Extras3 {
     "q_sql_cte" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders")
       s.sql(sqlCte("v_orders"))
+    }),
+
+    // RECURSIVE CTE SQL TEXT (Spark 4 UnionLoop): sessionization as
+    // chain recursion — the same 30-min-gap sessions q_stream_session
+    // computes via gaps-and-islands, here derived by recursively
+    // following next-event edges from session roots. The recursion body
+    // is shared verbatim with the DuckDB oracle.
+    "q_sql_recursive" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          graft.Det.tsUs(col("ts")).as("us"))
+        .createOrReplaceTempView("v_events_us")
+      s.sql(sqlRecursive(
+        "SELECT user_id, event_id, us FROM v_events_us"))
     }),
 
     // CSV source/sink round-trip in the graded surface: write the nation
@@ -377,6 +419,8 @@ object Extras3 {
                  - 3.0 * mean * mean * mean * mean) / (v * v) - 3.0 AS kurt
          FROM c ORDER BY l_returnflag""",
     "q_sql_cte" -> sqlCte("orders"),
+    "q_sql_recursive" -> sqlRecursive(
+      "SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events"),
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_llm_split" ->

@@ -6,8 +6,21 @@ class Extras3Spec extends QuerySuiteBase {
   Seq("q_fn_date3", "q_fn_strmap", "q_agg_mode", "q_agg_listagg",
     "q_scan_tail", "q_sql_q6", "q_sql_q14", "q_fn_string3",
     "q_agg_moments", "q_sql_cte", "q_llm_split", "q_llm_pack",
-    "q_llm_resize")
+    "q_llm_resize", "q_sql_recursive")
     .foreach(checkDeclared(_))
+
+  test("recursive sessionization equals the gaps-and-islands twin") {
+    // Same 30-min gap definition ⇒ same session count, and each
+    // recursive session's size distribution matches q_stream_session's.
+    val rec = q("q_sql_recursive")
+    val gai = q("q_stream_session")
+    assert(rec.count() == gai.count())
+    val recSizes = rec.groupBy("n_events").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gaiSizes = gai.groupBy("n").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recSizes == gaiSizes)
+  }
 
   test("resize: 8-char thumbnail whose ends are the payload's ends") {
     val bad = q("q_llm_resize")
