@@ -276,6 +276,31 @@ object LlmOps {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Sub-document dedup: chunks (the q_llm_chunk 50/40 slicing) that
+    // recur across DISTINCT documents — the boilerplate-paragraph
+    // detection step of a training pipeline (dedup at document
+    // granularity misses repeated headers/footers/licenses INSIDE
+    // otherwise-unique docs). Chunks travel as a portable md5-derived
+    // 60-bit hash; one groupBy, counts + a pinned exemplar only — the
+    // chunk text itself never shuffles twice.
+    "q_llm_dedup_para" -> ((s, d) => {
+      val ws = words(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("w"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("w")) - 1) / 40).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * 40 + 1, lit(50)))))
+            .as("chunk"))
+        .select(col("doc_id"), md5long(lower(trim(col("chunk")))).as("ch"))
+        .groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("ch")
+    }),
+
     // Vector norm statistics via exact integer arithmetic (the check step
     // of an embedding-normalization pass; inputs are unit-norm, so norm≈1
     // and the quantized norm² is exact and portable).
@@ -512,6 +537,20 @@ object LlmOps {
                 array_to_string(ws[i*40+1:i*40+50], ' ') AS chunk,
                 CAST(len(ws[i*40+1:i*40+50]) AS INT) AS n_words
          FROM x ORDER BY doc_id, chunk_id""",
+    "q_llm_dedup_para" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(0, (len(ws) - 1) // 40)) AS i
+                  FROM w),
+            c AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(lower(trim(
+                           array_to_string(ws[i*40+1:i*40+50], ' ')))), 1, 15))
+                           AS BIGINT) AS ch
+                  FROM x)
+         SELECT ch, COUNT(DISTINCT doc_id) AS n_docs,
+                COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+         FROM c GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY ch""",
     "q_llm_embed_norm" ->
       """WITH q AS (SELECT vec_id,
                            list_transform(embedding, x ->

@@ -10,8 +10,24 @@ class EventLlmSpec extends QuerySuiteBase {
     "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
     "q_llm_fingerprint", "q_llm_multimodal", "q_llm_chunk",
     "q_llm_embed_norm", "q_ts_resample", "q_llm_dedup_clusters",
-    "q_stream_live_tumbling", "q_source_csv", "q_stream_live_join")
+    "q_stream_live_tumbling", "q_source_csv", "q_stream_live_join",
+    "q_llm_dedup_para")
     .foreach(checkDeclared(_))
+
+  test("paragraph dedup: every reported chunk occurs in >= 2 distinct docs") {
+    val rows = q("q_llm_dedup_para").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    // The planted near-dup docs share 50-word chunks, so the near-dup
+    // pairs must be a source of cross-doc chunks: the first_doc of some
+    // reported chunk is an endpoint of some near-dup pair.
+    val nearDocs = q("q_llm_dedup_near").collect()
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.exists(r => nearDocs.contains(r.getAs[Long]("first_doc"))))
+  }
 
   test("live stream-static join equals the equivalent batch join") {
     val batch = Tables.events(spark, sf)
