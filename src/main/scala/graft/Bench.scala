@@ -36,11 +36,25 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Two output lines, both valid JSON payloads, by deliberate design:
+    // the harness keeps only the LAST ~2000 characters of output, and a
+    // full per-query map over 150+ queries is ~6 KB — a single giant line
+    // gets its head (including the `{"metric"` anchor) truncated away and
+    // parses as nothing. So:
+    //   1. a DETAIL-prefixed full-precision per-query line for humans and
+    //      for the BASELINE.md record (may be truncated in the tail);
+    //   2. the contract line LAST, kept deliberately small: headline
+    //      total + the slowest 15 queries (3 dp) + count of the rest —
+    //      it must fit inside the tail window in full.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""DETAIL {"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val totalR = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
