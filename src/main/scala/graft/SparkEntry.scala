@@ -27,7 +27,8 @@ object SparkEntry {
     (Extras.queries, Extras.oracle),
     (Extras2.queries, Extras2.oracle),
     (Extras3.queries, Extras3.oracle),
-    (Extras4.queries, Extras4.oracle)
+    (Extras4.queries, Extras4.oracle),
+    (Extras5.queries, Extras5.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,50 @@
+package graft
+
+class Extras5Spec extends QuerySuiteBase {
+  Seq("q_source_partitioned", "q_join_bucketed", "q_source_orc",
+    "q_win_ignore_nulls", "q_stream_live_session")
+    .foreach(checkDeclared(_))
+
+  test("partitioned source: status predicate prunes partitions, not rows") {
+    val df = q("q_source_partitioned")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s", "").contains("o_orderstatus"),
+      s"expected a partition filter on o_orderstatus:\n$p")
+  }
+
+  test("bucketed join: no shuffle anywhere — bucketing replaced it") {
+    val df = q("q_join_bucketed")
+    df.collect() // finalize AQE so the executed plan is the real one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    // The join AND the per-order aggregation must both be served by the
+    // bucketed HashPartitioning: the only allowed exchange is the final
+    // presentation sort (rangepartitioning).
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not hash-shuffle either side:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan should report bucket selection:\n$p")
+  }
+
+  test("live session windows agree with the gaps-and-islands batch twin") {
+    val live = q("q_stream_live_session")
+      .select("user_id", "start_us", "end_us", "n", "sum_v")
+    val twin = q("q_stream_session")
+      .select("user_id", "start_us", "end_us", "n", "sum_v")
+    assert(live.exceptAll(twin).isEmpty && twin.exceptAll(live).isEmpty,
+      "streaming session_window diverged from the batch definition")
+  }
+
+  test("ignore-nulls forward fill only ever carries non-null values") {
+    import org.apache.spark.sql.functions._
+    // ff_v may be null only before the first observation; afterwards it
+    // must equal the most recent non-null v — spot-check the invariant
+    // that ff_v is never one of the synthesized nulls' positions' values.
+    val bad = q("q_win_ignore_nulls")
+      .where(col("ff_v").isNull && col("prev_v").isNotNull)
+      .count()
+    assert(bad == 0, "forward fill lost a preceding non-null observation")
+  }
+}
