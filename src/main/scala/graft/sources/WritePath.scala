@@ -104,4 +104,43 @@ object WritePath {
     // source) batch plan.
     tailOf()
   }
+
+  /** Compact the log at `dir` into ~`targetFiles` offset-ranged files —
+    * the log-store maintenance op for the small-files problem: every
+    * append writes its own part files, and a year of small appends makes
+    * the file listing (and per-file open cost) dominate reads at scale.
+    *
+    * Offsets and rows are preserved exactly; files afterwards hold
+    * CONTIGUOUS offset ranges (repartitionByRange on offset + in-file
+    * sort), so row-group min/max stats make offset-range reads skip whole
+    * files — the same read path as a fresh bulk load.
+    *
+    * Same single-writer contract as append: run from the writer role.
+    * Crash safety is rename-based: the compacted copy is fully written to
+    * a sibling, the live dir is moved aside, the copy renamed in, and
+    * only then the old data deleted — a crash at any point leaves either
+    * the old or the new complete log on disk (plus at worst a stale
+    * `.bak`/`.compacting` sibling to clean up), never a partial mix.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    spark.read.parquet(dir)
+      .repartitionByRange(targetFiles, col("offset"))
+      .sortWithinPartitions("offset")
+      .write.parquet(tmp.toString)
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, hPath)) {
+      // Roll back: put the original log back before failing.
+      fs.rename(bak, hPath)
+      throw new java.io.IOException(s"compact: cannot install compacted $dir")
+    }
+    fs.delete(bak, true)
+  }
 }

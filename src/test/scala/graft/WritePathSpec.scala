@@ -55,6 +55,36 @@ class WritePathSpec extends QuerySuiteBase {
     assert(log.where(col("offset") >= 100).count() == 50)
   }
 
+  test("compact: fewer files, identical rows+offsets, appends continue") {
+    val dir = Files.createTempDirectory("graft-log-compact").toString + "/log"
+    val order = Seq(col("ts"), col("event_id"))
+    // Five small appends → at least five part files.
+    (0 until 5).foreach { i =>
+      WritePath.append(dir,
+        eventsDf.where(col("event_id") >= i * 20 && col("event_id") < (i + 1) * 20),
+        order)
+    }
+    def partFiles(): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val before = spark.read.parquet(dir)
+      .select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(partFiles().size >= 5)
+    WritePath.compact(spark, dir, targetFiles = 2)
+    assert(partFiles().size <= 2, s"still ${partFiles().size} files")
+    val after = spark.read.parquet(dir)
+      .select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after == before, "compaction must preserve rows and offsets")
+    assert(new java.io.File(dir + ".bak").exists() == false)
+    assert(new java.io.File(dir + ".compacting").exists() == false)
+    // The log is still a log: the next append continues from the tail.
+    assert(WritePath.append(dir,
+      eventsDf.where(col("event_id") >= 100 && col("event_id") < 110),
+      order) == 110L)
+  }
+
   test("empty appends are no-ops: tail survives, next offsets continue") {
     val dir = Files.createTempDirectory("graft-log-empty").toString + "/log"
     val none = eventsDf.where(col("event_id") < 0)
