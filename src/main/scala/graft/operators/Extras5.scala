@@ -105,6 +105,63 @@ object Extras5 {
         .orderBy("user_id", "event_id")
     }),
 
+    // Spark 4 VARIANT ingestion: parse_json → typed variant_get paths
+    // (array index, nested object, missing key). The binary variant
+    // encoding is the 100 TB answer to schema-on-read JSON — parse once,
+    // extract many times without re-tokenizing. The JSON is synthesized
+    // from typed columns, so the oracle states the expected scalars
+    // directly (same precedent as q_fn_json2: the round-trip must
+    // reproduce the inputs).
+    "q_fn_variant" -> ((s, d) => {
+      val js = concat(lit("{\"id\":"), col("event_id"),
+        lit(",\"tags\":[\""), col("event_type"), lit("\",\"x\"]"),
+        lit(",\"meta\":{\"u\":"), col("user_id"), lit("}}"))
+      val v = parse_json(js)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(v, "$.id", "bigint").as("v_id"),
+          variant_get(v, "$.tags[0]", "string").as("v_tag"),
+          variant_get(v, "$.tags[1]", "string").as("v_tag2"),
+          variant_get(v, "$.meta.u", "bigint").as("v_user"),
+          variant_get(v, "$.absent", "string").as("v_missing"))
+        .orderBy("event_id")
+    }),
+
+    // URL decomposition: parse_url over a synthesized URL — host, path,
+    // full query, one query parameter, fragment, scheme. The oracle
+    // reconstructs each component from the same typed inputs.
+    "q_fn_url" -> ((s, d) => {
+      val url = concat(lit("https://ex.org/"), col("event_type"),
+        lit("/item?id="), col("event_id"), lit("&u="), col("user_id"),
+        lit("#frag"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          parse_url(url, lit("HOST")).as("u_host"),
+          parse_url(url, lit("PATH")).as("u_path"),
+          parse_url(url, lit("QUERY")).as("u_query"),
+          parse_url(url, lit("QUERY"), lit("u")).as("u_param"),
+          parse_url(url, lit("REF")).as("u_ref"),
+          parse_url(url, lit("PROTOCOL")).as("u_scheme"))
+        .orderBy("event_id")
+    }),
+
+    // Stratified deterministic sampling: a different rate per stratum
+    // (order status), keyed by the portable md5 bucket of the unique key
+    // — never rand()/TABLESAMPLE (engine- and partitioning-dependent).
+    // The training-pipeline idiom for class rebalancing at corpus scale:
+    // pure row-local filter, no shuffle beyond the final agg.
+    "q_scan_sample_stratified" -> ((s, d) => {
+      val bucket = pmod(md5long(
+        concat(lit("strat:"), col("o_orderkey").cast("string"))), lit(100))
+      val rate = when(col("o_orderstatus") === "F", 20)
+        .when(col("o_orderstatus") === "O", 10).otherwise(50)
+      Tables.orders(s, d)
+        .where(bucket < rate)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Third REAL streaming query: stateful session windows running under
     // MicroBatchExecution (session-merge state store), not the batch
     // twin. session_window merges events closer than the 30-min gap; its
@@ -147,6 +204,36 @@ object Extras5 {
          ORDER BY l_orderkey""",
     "q_source_orc" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    // The variant round-trip must reproduce the typed inputs (and misses
+    // stay NULL); the oracle states them directly.
+    "q_fn_variant" ->
+      """SELECT event_id,
+                event_id AS v_id,
+                event_type AS v_tag,
+                'x' AS v_tag2,
+                user_id AS v_user,
+                CAST(NULL AS VARCHAR) AS v_missing
+         FROM events ORDER BY event_id""",
+    "q_fn_url" ->
+      """SELECT event_id,
+                'ex.org' AS u_host,
+                '/' || event_type || '/item' AS u_path,
+                'id=' || event_id || '&u=' || user_id AS u_query,
+                CAST(user_id AS VARCHAR) AS u_param,
+                'frag' AS u_ref,
+                'https' AS u_scheme
+         FROM events ORDER BY event_id""",
+    "q_scan_sample_stratified" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE CAST(('0x' || substr(md5('strat:' || o_orderkey), 1, 15))
+                    AS BIGINT) % 100
+               < CASE o_orderstatus WHEN 'F' THEN 20
+                                    WHEN 'O' THEN 10 ELSE 50 END
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     "q_win_ignore_nulls" ->
       """WITH t AS (SELECT user_id, event_id,
                            CASE WHEN event_id % 7 = 0 THEN NULL

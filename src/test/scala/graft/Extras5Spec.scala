@@ -2,8 +2,21 @@ package graft
 
 class Extras5Spec extends QuerySuiteBase {
   Seq("q_source_partitioned", "q_join_bucketed", "q_source_orc",
-    "q_win_ignore_nulls", "q_stream_live_session")
+    "q_win_ignore_nulls", "q_stream_live_session", "q_fn_variant",
+    "q_fn_url", "q_scan_sample_stratified")
     .foreach(checkDeclared(_))
+
+  test("stratified sample hits each stratum near its configured rate") {
+    val rates = Map("F" -> 0.20, "O" -> 0.10, "P" -> 0.50)
+    val totals = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("q_scan_sample_stratified").collect().foreach { r =>
+      val (status, n) = (r.getString(0), r.getLong(1))
+      val expect = totals(status) * rates(status)
+      assert(math.abs(n - expect) <= 4 * math.sqrt(expect) + 3,
+        s"$status: sampled $n, expected ~$expect of ${totals(status)}")
+    }
+  }
 
   test("partitioned source: status predicate prunes partitions, not rows") {
     val df = q("q_source_partitioned")
