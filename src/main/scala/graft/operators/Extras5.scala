@@ -105,6 +105,57 @@ object Extras5 {
         .orderBy("user_id", "event_id")
     }),
 
+    // Mergeable HLL sketches (Datasketches via Spark 3.5+ built-ins):
+    // per-status sketches BUILD once, UNION without touching raw data —
+    // the 100 TB cardinality workflow (per-partition/per-day sketches
+    // merged at query time). Estimates are engine-specific → no DuckDB
+    // oracle (rows-only check, same class as q_agg_approx_distinct);
+    // Extras5Spec bounds them against exact counts instead.
+    "q_agg_hll_union" -> ((s, d) => {
+      val perStatus = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val per = perStatus.select(col("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("approx_custs"))
+      val all = perStatus.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("ALL").as("o_orderstatus"),
+          hll_sketch_estimate(col("sk")).as("approx_custs"))
+      per.unionByName(all).orderBy("o_orderstatus")
+    }),
+
+    // Hourly OHLC bars per user — the event-store downsampling idiom
+    // (candlesticks): open/close via min_by/max_by on the unique
+    // ts-order rank (event_id — pinned by WritePathSpec), high/low as
+    // raw extremes. One shuffle on (user, hour); partial aggregation
+    // does the heavy lifting map-side at scale.
+    "q_ts_ohlc" -> ((s, d) => {
+      val hb = (tsUs(col("ts")).cast("long") / 3600000000L).cast("long")
+      Tables.events(s, d)
+        .groupBy(col("user_id"), (hb * 3600000000L).as("hb_us"))
+        .agg(min_by(col("value"), col("event_id")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("event_id")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "hb_us")
+    }),
+
+    // Interval-typed RANGE window frame as SQL TEXT: trailing-1h sum
+    // keyed on the timestamp itself (RANGE BETWEEN INTERVAL ... — the
+    // frame q_win_frame_range expresses over epoch seconds, here in the
+    // SQL-standard spelling both engines parse natively).
+    "q_win_range_time" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("v_events")
+      s.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS trailing_1h
+        FROM v_events
+        ORDER BY event_id""")
+    }),
+
     // Spark 4 VARIANT ingestion: parse_json → typed variant_get paths
     // (array index, nested object, missing key). The binary variant
     // encoding is the 100 TB answer to schema-on-read JSON — parse once,
@@ -204,6 +255,25 @@ object Extras5 {
          ORDER BY l_orderkey""",
     "q_source_orc" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q_ts_ohlc" ->
+      """SELECT user_id,
+                (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000 AS hb_us,
+                min_by(value, event_id) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                max_by(value, event_id) AS close,
+                COUNT(*) AS n
+         FROM events
+         GROUP BY user_id, epoch_us(ts::TIMESTAMP) // 3600000000
+         ORDER BY user_id, hb_us""",
+    "q_win_range_time" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                  (PARTITION BY user_id ORDER BY ts::TIMESTAMP
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS trailing_1h
+         FROM events
+         ORDER BY event_id""",
     // The variant round-trip must reproduce the typed inputs (and misses
     // stay NULL); the oracle states them directly.
     "q_fn_variant" ->

@@ -3,8 +3,35 @@ package graft
 class Extras5Spec extends QuerySuiteBase {
   Seq("q_source_partitioned", "q_join_bucketed", "q_source_orc",
     "q_win_ignore_nulls", "q_stream_live_session", "q_fn_variant",
-    "q_fn_url", "q_scan_sample_stratified")
+    "q_fn_url", "q_scan_sample_stratified", "q_ts_ohlc",
+    "q_win_range_time", "q_agg_hll_union")
     .foreach(checkDeclared(_))
+
+  test("HLL sketches: estimates within 5% of exact, union ≈ global") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    q("q_agg_hll_union").collect().foreach { r =>
+      val (status, est) = (r.getString(0), r.getLong(1))
+      val truth = if (status == "ALL") exactAll else exact(status)
+      assert(math.abs(est - truth) <= math.max(2, 0.05 * truth),
+        s"$status: HLL estimate $est vs exact $truth")
+    }
+  }
+
+  test("OHLC: high >= open/close >= low, bars partition the events") {
+    import org.apache.spark.sql.functions._
+    val bars = q("q_ts_ohlc")
+    val bad = bars.where(col("high") < col("low")
+      || col("open") > col("high") || col("open") < col("low")
+      || col("close") > col("high") || col("close") < col("low")).count()
+    assert(bad == 0)
+    assert(bars.agg(sum(col("n"))).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
 
   test("stratified sample hits each stratum near its configured rate") {
     val rates = Map("F" -> 0.20, "O" -> 0.10, "P" -> 0.50)
