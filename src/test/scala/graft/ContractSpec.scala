@@ -10,9 +10,10 @@ class ContractSpec extends QuerySuiteBase {
     assert(dangling.isEmpty, s"oracle SQL for undeclared queries: $dangling")
   }
 
-  test("exactly the two approximate sketches are rows-only (no oracle)") {
+  test("exactly the approximate sketches are rows-only (no oracle)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_agg_approx_distinct", "q_agg_percentile_approx"),
+    assert(rowsOnly == Set("q_agg_approx_distinct", "q_agg_percentile_approx",
+      "q_agg_hll_union"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
@@ -26,7 +27,8 @@ class ContractSpec extends QuerySuiteBase {
       operators.EventOps.queries, operators.LlmOps.queries,
       operators.LlmSketches.queries, operators.Misc.queries,
       operators.Multimodal.queries, operators.Extras.queries,
-      operators.Extras2.queries, operators.Extras3.queries)
+      operators.Extras2.queries, operators.Extras3.queries,
+      operators.Extras4.queries, operators.Extras5.queries)
     val all = families.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query keys across families: $dupes")
