@@ -84,7 +84,15 @@ object ScaleProbe {
       "q_llm_sim_topk" -> (d => SparkEntry.queries("q_llm_sim_topk")(spark, d).count()),
       "q_llm_simhash_lsh" -> (d => SparkEntry.queries("q_llm_simhash_lsh")(spark, d).count()),
       "q_llm_dedup_clusters" -> (d => SparkEntry.queries("q_llm_dedup_clusters")(spark, d).count()),
-      "q_llm_centroid" -> (d => SparkEntry.queries("q_llm_centroid")(spark, d).count())
+      "q_llm_centroid" -> (d => SparkEntry.queries("q_llm_centroid")(spark, d).count()),
+      // Round-4 layout + decorrelation probes: the partitioned/bucketed
+      // probes time LAYOUT BUILD + QUERY together (the write is the cost
+      // being amortized; it must itself scale linearly), q21 times the
+      // semi+anti decorrelation over the K×-remapped order keys.
+      "q_source_partitioned" -> (d => SparkEntry.queries("q_source_partitioned")(spark, d).count()),
+      "q_join_bucketed" -> (d => SparkEntry.queries("q_join_bucketed")(spark, d).count()),
+      "q_ts_ohlc" -> (d => SparkEntry.queries("q_ts_ohlc")(spark, d).count()),
+      "q_sql_q21" -> (d => SparkEntry.queries("q_sql_q21")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
