@@ -105,6 +105,75 @@ object Extras5 {
         .orderBy("user_id", "event_id")
     }),
 
+    // Benchmark-contamination check — the decontamination pass every
+    // training pipeline runs before a model sees the data: fraction of a
+    // train-split doc's distinct 3-gram shingles that appear anywhere in
+    // the held-out (test-split) benchmark. Splits derive from the SAME
+    // portable md5 bucket as q_llm_split, so membership is a pure
+    // function of doc_id. Scale shape: the benchmark shingle set is
+    // small by construction (eval sets are) → BROADCAST semi-join; the
+    // train corpus is never shuffled, and the shared shingleTrips kernel
+    // reads the corpus once.
+    "q_llm_contamination" -> ((s, d) => {
+      val bucket = pmod(graft.Det.md5long(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      val trips = LlmOps.shingleTrips(s, d)
+        .select(col("doc_id"), xxhash64(col("s0")).as("sh"), col("nsh"),
+          bucket.as("bucket"))
+      val bench = trips.where(col("bucket") >= 90).select("sh").distinct()
+      trips.where(col("bucket") < 80)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"), col("nsh"))
+        .agg(count(lit(1)).as("n_hit"))
+        .withColumn("ratio",
+          round(col("n_hit").cast("double") / col("nsh"), 6))
+        .where(col("ratio") >= 0.2)
+        .select(col("doc_id"), col("nsh").cast("long").as("nsh"),
+          col("n_hit"), col("ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing — regex redaction with per-doc hit counts. The
+    // fixture has no real PII, so addresses are synthesized from typed
+    // columns (both engines build the same string); the redaction +
+    // count must then agree. Pure row-local projection: no shuffle, runs
+    // at scan speed at any corpus size.
+    "q_llm_pii_scrub" -> ((s, d) => {
+      val contact = concat(lit("reach u"), col("doc_id"), lit("@ex.org or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" re: "), substring(col("text"), 1, 40))
+      val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phone = "555-[0-9]{4}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(contact, email, "<EMAIL>"),
+            phone, "<PHONE>").as("scrubbed"),
+          size(regexp_extract_all(contact, lit(email), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(contact, lit(phone), lit(0)))
+            .cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
+    // Within-doc repetition score (Gopher-style quality signal): the
+    // fraction of a doc's 3-gram positions occupied by repeated shingles
+    // — 1 − distinct/total. Shares the one-pass shingle kernel; docs
+    // with < 3 words are excluded on both sides by construction.
+    "q_llm_repetition" -> ((s, d) => {
+      val nsh = LlmOps.shingleTrips(s, d)
+        .groupBy(col("doc_id"))
+        .agg(first(col("nsh")).cast("long").as("nsh"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 2).cast("long").as("total"))
+        .where(col("total") > 0)
+        .join(nsh, "doc_id")
+        .select(col("doc_id"), col("total"), col("nsh"),
+          round(lit(1.0) - col("nsh").cast("double") / col("total"), 6)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Mergeable HLL sketches (Datasketches via Spark 3.5+ built-ins):
     // per-status sketches BUILD once, UNION without touching raw data —
     // the 100 TB cardinality workflow (per-partition/per-day sketches
@@ -255,6 +324,58 @@ object Extras5 {
          ORDER BY l_orderkey""",
     "q_source_orc" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q_llm_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            b AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5('split:' || doc_id), 1, 15))
+                              AS BIGINT) % 100 AS bucket
+                  FROM documents),
+            bench AS (SELECT DISTINCT s FROM sh JOIN b USING (doc_id)
+                      WHERE bucket >= 90),
+            train AS (SELECT sh.doc_id, sh.s FROM sh JOIN b USING (doc_id)
+                      WHERE bucket < 80),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM train GROUP BY doc_id),
+            hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM train
+                    WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+         SELECT c.doc_id, c.nsh, h.n_hit,
+                round(CAST(h.n_hit AS DOUBLE) / c.nsh, 6) AS ratio
+         FROM cnt c JOIN hit h ON c.doc_id = h.doc_id
+         WHERE round(CAST(h.n_hit AS DOUBLE) / c.nsh, 6) >= 0.2
+         ORDER BY c.doc_id""",
+    "q_llm_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+                           'reach u' || doc_id || '@ex.org or 555-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                           ' re: ' || substr(text, 1, 40) AS contact
+                    FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(contact,
+                    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                  '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+                len(regexp_extract_all(contact,
+                    '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+                len(regexp_extract_all(contact, '555-[0-9]{4}')) AS n_phone
+         FROM t ORDER BY doc_id""",
+    "q_llm_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(string_split(text, ' ')) - 2 AS total
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) - 2 > 0)
+         SELECT t.doc_id, t.total, c.nsh,
+                round(1.0 - CAST(c.nsh AS DOUBLE) / t.total, 6) AS rep_ratio
+         FROM tot t JOIN cnt c ON t.doc_id = c.doc_id
+         ORDER BY t.doc_id""",
     "q_ts_ohlc" ->
       """SELECT user_id,
                 (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000 AS hb_us,

@@ -4,8 +4,28 @@ class Extras5Spec extends QuerySuiteBase {
   Seq("q_source_partitioned", "q_join_bucketed", "q_source_orc",
     "q_win_ignore_nulls", "q_stream_live_session", "q_fn_variant",
     "q_fn_url", "q_scan_sample_stratified", "q_ts_ohlc",
-    "q_win_range_time", "q_agg_hll_union")
+    "q_win_range_time", "q_agg_hll_union", "q_llm_contamination",
+    "q_llm_pii_scrub", "q_llm_repetition")
     .foreach(checkDeclared(_))
+
+  test("contamination: broadcast semi-check, ratios in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val df = q("q_llm_contamination")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "benchmark shingle set should broadcast, not shuffle the corpus")
+    assert(df.where(col("ratio") <= 0 || col("ratio") > 1).count() == 0)
+  }
+
+  test("pii scrub: zero raw addresses survive, counts match plants") {
+    import org.apache.spark.sql.functions._
+    val df = q("q_llm_pii_scrub")
+    assert(df.where(col("scrubbed").rlike("@ex\\.org")
+      || col("scrubbed").rlike("555-[0-9]{4}")).count() == 0,
+      "redaction left raw PII behind")
+    // Every synthesized contact line plants exactly one email + one phone.
+    assert(df.where(col("n_email") =!= 1 || col("n_phone") =!= 1).count() == 0)
+  }
 
   test("HLL sketches: estimates within 5% of exact, union ≈ global") {
     import org.apache.spark.sql.functions._
