@@ -27,6 +27,12 @@ object Extras5 {
   private lazy val layoutTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft_layout").toString
 
+  /** Per-JVM catalog-name tag (valid identifier chars only), so queries
+    * that must register tables never collide across concurrently running
+    * JVMs sharing a metastore path. */
+  private lazy val jvmTag: String =
+    java.lang.Long.toHexString(layoutTmpDir.hashCode.toLong & 0xffffffffL)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Hive-style partitioned layout + partition pruning: write orders
@@ -53,14 +59,20 @@ object Extras5 {
     // asserts the executed plan contains no Exchange at all.
     "q_join_bucketed" -> ((s, d) => {
       val root = layoutTmpDir + "/bucketed"
-      def ensure(name: String, df: DataFrame, key: String): Unit =
+      // Catalog names carry the per-JVM tmp-dir tag: registering a fixed
+      // global name as a query side effect would let two suites (or a
+      // bench and a test) sharing one metastore race on overwrite.
+      def ensure(name: String, df: DataFrame, key: String): String = {
+        val tagged = s"${name}_$jvmTag"
         df.write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
-          .option("path", s"$root/$name").saveAsTable(name)
-      ensure("gb_lineitem", Tables.lineitem(s, d)
+          .option("path", s"$root/$name").saveAsTable(tagged)
+        tagged
+      }
+      val li = ensure("gb_lineitem", Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
         "l_orderkey")
-      ensure("gb_orders", Tables.orders(s, d)
+      val ord = ensure("gb_orders", Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
         "o_orderkey")
       // The bucketed HashPartitioning satisfies BOTH the join and the
@@ -68,8 +80,8 @@ object Extras5 {
       // is the final presentation sort ((l_orderkey, l_linenumber) is not
       // unique in this fixture, so a bare LIMIT would be tie-broken
       // differently per engine; the aggregate is order-free).
-      s.table("gb_lineitem").hint("merge")
-        .join(s.table("gb_orders"), col("l_orderkey") === col("o_orderkey"))
+      s.table(li).hint("merge")
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_orderkey")
@@ -117,6 +129,12 @@ object Extras5 {
     "q_llm_contamination" -> ((s, d) => {
       val bucket = pmod(graft.Det.md5long(
         concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      // Joining on xxhash64(shingle) assumes no 64-bit collision between a
+      // train and a bench shingle — the same fingerprint-not-string trade
+      // the whole MinHash family makes (LlmOps), chosen so only 8-byte
+      // keys shuffle at corpus scale. A collision would inflate n_hit
+      // vs the raw-string oracle; P(any) ≈ n²/2⁶⁵, negligible even at
+      // 100 TB shingle counts per band.
       val trips = LlmOps.shingleTrips(s, d)
         .select(col("doc_id"), xxhash64(col("s0")).as("sh"), col("nsh"),
           bucket.as("bucket"))
@@ -198,9 +216,12 @@ object Extras5 {
     // raw extremes. One shuffle on (user, hour); partial aggregation
     // does the heavy lifting map-side at scale.
     "q_ts_ohlc" -> ((s, d) => {
-      val hb = (tsUs(col("ts")).cast("long") / 3600000000L).cast("long")
+      // Bucket by exact integer floor: us - pmod(us, h) == floor(us/h)*h
+      // for ALL inputs (pmod is non-negative), matching DuckDB's `//`
+      // even pre-epoch — Column `/` is double division and truncates.
+      val us = tsUs(col("ts")).cast("long")
       Tables.events(s, d)
-        .groupBy(col("user_id"), (hb * 3600000000L).as("hb_us"))
+        .groupBy(col("user_id"), (us - pmod(us, lit(3600000000L))).as("hb_us"))
         .agg(min_by(col("value"), col("event_id")).as("open"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),

@@ -121,6 +121,16 @@ object WritePath {
     * only then the old data deleted — a crash at any point leaves either
     * the old or the new complete log on disk (plus at worst a stale
     * `.bak`/`.compacting` sibling to clean up), never a partial mix.
+    * Readers racing the two-rename install window see NO directory at the
+    * path (not a partial one) — the same visibility gap as any
+    * rename-install scheme; retry the read.
+    *
+    * Re-running compact is also the RECOVERY action: if a prior run
+    * crashed between the two renames (live dir absent, `.bak` holds the
+    * only complete log), the `.bak` is renamed back into place before
+    * anything is deleted — the stale-sibling cleanup below only runs once
+    * the live dir demonstrably exists, so the last complete log can never
+    * be deleted.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFiles: Int): Unit = {
@@ -129,6 +139,17 @@ object WritePath {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
     val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    if (!fs.exists(hPath)) {
+      // A prior compact crashed mid-install. If the complete original
+      // survives at `.bak`, restore it and carry on; otherwise fail loudly
+      // — deleting siblings here could destroy the only complete log.
+      if (!fs.exists(bak) || !fs.rename(bak, hPath))
+        throw new java.io.IOException(
+          s"compact: $dir is absent and no recoverable $bak exists — " +
+            "restore the log manually before compacting")
+    }
+    // Stale siblings from an interrupted run are safe to drop only now
+    // that the live dir is known to exist.
     fs.delete(tmp, true); fs.delete(bak, true)
     spark.read.parquet(dir)
       .repartitionByRange(targetFiles, col("offset"))

@@ -85,6 +85,32 @@ class WritePathSpec extends QuerySuiteBase {
       order) == 110L)
   }
 
+  test("compact recovers a crash between the two install renames") {
+    val dir = Files.createTempDirectory("graft-log-crash").toString + "/log"
+    val order = Seq(col("ts"), col("event_id"))
+    WritePath.append(dir, eventsDf.where(col("event_id") < 50), order)
+    val before = spark.read.parquet(dir)
+      .select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // Simulate the crash window: live dir moved aside, install never ran —
+    // the ONLY complete log now lives at `.bak`.
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".bak")))
+    // The natural recovery action is re-running compact: it must restore
+    // `.bak` (never delete it) and then compact normally.
+    WritePath.compact(spark, dir, targetFiles = 1)
+    val after = spark.read.parquet(dir)
+      .select("event_id", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after == before, "recovery must preserve rows and offsets")
+    assert(!new java.io.File(dir + ".bak").exists())
+    // With NOTHING recoverable (no live dir, no .bak) compact must refuse
+    // rather than fabricate an empty log.
+    val gone = Files.createTempDirectory("graft-log-gone").toString + "/log"
+    intercept[java.io.IOException] {
+      WritePath.compact(spark, gone, targetFiles = 1)
+    }
+  }
+
   test("empty appends are no-ops: tail survives, next offsets continue") {
     val dir = Files.createTempDirectory("graft-log-empty").toString + "/log"
     val none = eventsDf.where(col("event_id") < 0)
