@@ -66,6 +66,18 @@ object StreamOps {
     df.sparkSession.table(name)
   }
 
+  /** As runToMemory, but in APPEND output mode — for queries (stream-
+    * stream joins, watermark-append aggs) whose sink contract is
+    * emit-once rather than replace. */
+  def runToMemoryAppend(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   /** Tumbling 1h counts per event type (same logic as q_stream_tumbling). */
   def tumbling(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
