@@ -29,7 +29,8 @@ object SparkEntry {
     (Extras3.queries, Extras3.oracle),
     (Extras4.queries, Extras4.oracle),
     (Extras5.queries, Extras5.oracle),
-    (Extras6.queries, Extras6.oracle)
+    (Extras6.queries, Extras6.oracle),
+    (Extras7.queries, Extras7.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
