@@ -92,7 +92,20 @@ object ScaleProbe {
       "q_source_partitioned" -> (d => SparkEntry.queries("q_source_partitioned")(spark, d).count()),
       "q_join_bucketed" -> (d => SparkEntry.queries("q_join_bucketed")(spark, d).count()),
       "q_ts_ohlc" -> (d => SparkEntry.queries("q_ts_ohlc")(spark, d).count()),
-      "q_sql_q21" -> (d => SparkEntry.queries("q_sql_q21")(spark, d).count())
+      "q_sql_q21" -> (d => SparkEntry.queries("q_sql_q21")(spark, d).count()),
+      // Round-5 probes: gram-expansion + windowed min (winnow), bounded
+      // ROWS frames (zscore), the double-window GROUPS emulation, the
+      // bigram-LM two-join shape, the live stream-stream join (state
+      // store volume scales with the click horizon), and the two
+      // mergeable summaries (sketch size is CONSTANT — only the scan
+      // side should grow).
+      "q_llm_winnow" -> (d => SparkEntry.queries("q_llm_winnow")(spark, d).count()),
+      "q_ts_zscore" -> (d => SparkEntry.queries("q_ts_zscore")(spark, d).count()),
+      "q_win_groups_frame" -> (d => SparkEntry.queries("q_win_groups_frame")(spark, d).count()),
+      "q_llm_ngram_lm" -> (d => SparkEntry.queries("q_llm_ngram_lm")(spark, d).count()),
+      "q_stream_live_ssjoin" -> (d => SparkEntry.queries("q_stream_live_ssjoin")(spark, d).count()),
+      "q_agg_countmin" -> (d => SparkEntry.queries("q_agg_countmin")(spark, d).count()),
+      "q_agg_bloom" -> (d => SparkEntry.queries("q_agg_bloom")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

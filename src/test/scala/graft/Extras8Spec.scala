@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch-3 suite: graded arbitrary-state streaming, text and
+  * binaryFile source round-trips. */
+class Extras8Spec extends QuerySuiteBase {
+  Seq("q_stream_live_stateful", "q_source_text", "q_source_binary",
+    "q_agg_countmin", "q_agg_bloom")
+    .foreach(checkDeclared(_))
+
+  test("count-min never underestimates (the one-sided error guarantee)") {
+    assert(q("q_agg_countmin").where(col("est_n") < col("exact_n"))
+      .count() == 0, "CMS estimate below the true count")
+  }
+
+  test("bloom filter has zero false negatives") {
+    assert(q("q_agg_bloom")
+      .where(col("present") && !col("is_member")).count() == 0,
+      "a present key missed the filter")
+    // And the absent probe list is actually exercised.
+    assert(q("q_agg_bloom").where(!col("present")).count() == 5)
+  }
+
+  test("stateful running totals equal the batch GROUP BY exactly") {
+    import Det._
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((dec(col("value")) * 100).cast("long")).as("total_cents"))
+      .orderBy("user_id")
+    assert(fingerprint(q("q_stream_live_stateful")) == fingerprint(batch),
+      "flatMapGroupsWithState totals diverged from the batch aggregate")
+  }
+
+  test("text round-trip preserves every doc byte-for-byte") {
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        substring(col("text"), 1, 40).as("head40"))
+      .orderBy("doc_id")
+    assert(fingerprint(q("q_source_text")) == fingerprint(direct))
+  }
+
+  test("binaryFile scan returns intact payloads (sha + length match)") {
+    val direct = Tables.documents(spark, sf)
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("length"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+      .orderBy("doc_id")
+    assert(fingerprint(q("q_source_binary")) == fingerprint(direct))
+  }
+}
