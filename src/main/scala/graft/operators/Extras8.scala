@@ -28,6 +28,8 @@ object Extras8 {
     java.nio.file.Files.createTempDirectory("graft_text_docs").toString
   private lazy val binTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft_bin_docs").toString
+  private lazy val dppTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_dpp_orders").toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -170,6 +172,30 @@ object Extras8 {
         .select(col("user_id").as("probe_user"), col("present"),
           col("is_member"))
         .orderBy("probe_user")
+    }),
+
+    // Dynamic partition pruning: the fact table is laid out by month
+    // (80 partitions); the months that matter come from a FILTERED dim
+    // relation, unknown until runtime — so static pruning can't help, and
+    // DPP injects the dim's month set into the fact scan's
+    // PartitionFilters (asserted by Extras8Spec: ~80% of partitions never
+    // open). This is the partition-layout counterpart of
+    // q_source_partitioned's static pruning, and at 100 TB the difference
+    // between scanning 17 months and scanning 80.
+    "q_join_dpp" -> ((s, d) => {
+      val tmp = dppTmpDir + "/orders_by_month"
+      Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+      val dim = Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 100 && col("l_quantity") <= 2)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("m")).distinct()
+      s.read.parquet(tmp)
+        .join(dim, col("o_month") === col("m"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_month")
     })
   )
 
@@ -230,5 +256,15 @@ object Extras8 {
                   (w.word & (CAST(1 AS BIGINT) << CAST(pp.p % 63 AS INT)))
                     != 0, FALSE)) AS is_member
          FROM pp LEFT JOIN w ON pp.p // 63 = w.w
-         GROUP BY 1, 2 ORDER BY probe_user""")
+         GROUP BY 1, 2 ORDER BY probe_user""",
+    "q_join_dpp" ->
+      """WITH dim AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m
+                      FROM lineitem
+                      WHERE l_orderkey < 100 AND l_quantity <= 2)
+         SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = dim.m
+         GROUP BY 1 ORDER BY o_month""")
 }

@@ -9,6 +9,14 @@ class Extras8Spec extends QuerySuiteBase {
     "q_agg_countmin", "q_agg_bloom")
     .foreach(checkDeclared(_))
 
+  checkDeclared("q_join_dpp")
+
+  test("DPP: the fact scan carries a dynamic pruning partition filter") {
+    val plan = q("q_join_dpp").queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the fact scan:\n$plan")
+  }
+
   test("count-min never underestimates (the one-sided error guarantee)") {
     assert(q("q_agg_countmin").where(col("est_n") < col("exact_n"))
       .count() == 0, "CMS estimate below the true count")
