@@ -50,7 +50,18 @@ object ScaleProbe {
       // events.parquet is read via Tables.events (nanosAsLong + div):
       // store ts back as LONG nanos to honor the raw schema.
       .withColumn("ts", unix_micros(col("ts")) * 1000)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/events_dir")
+    // The live-streaming probes go through StreamOps.eventsFileStream,
+    // which requires events.parquet to be a single FILE (pathGlobFilter
+    // semantics) — promote the lone part file to that name.
+    locally {
+      val dir = new java.io.File(s"$out/events_dir")
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$out/events.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part.toPath, dst)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
     // documents: per-replica vocabulary suffix — replicas of different k
     // share NO shingles, so the planted near-dup structure replicates
     // linearly instead of every copy matching every other copy.

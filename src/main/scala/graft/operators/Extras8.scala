@@ -174,6 +174,33 @@ object Extras8 {
         .orderBy("probe_user")
     }),
 
+    // Eighth REAL streaming query — transformWithState (the Spark 4
+    // arbitrary-state API) in the graded set: per-user running max of
+    // event values in a RocksDB-backed ValueState. Max is comparison-only
+    // (no float arithmetic), so every emission is an exact input value
+    // and the per-user max of emissions equals the batch MAX whatever the
+    // micro-batch split. The RocksDB provider is required by
+    // transformWithState and scoped to this run (set/restored around the
+    // start, like the state-partition cap).
+    "q_stream_live_tws" -> ((s, d) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val run = StreamOps.runningMax(
+          StreamOps.eventsFileStream(s, d).as[Event]).toDF("user_id", "vmax")
+        StreamOps.runToMemoryUpdate(run, "live_tws")
+          .groupBy(col("user_id"))
+          .agg(max(col("vmax")).as("max_value"))
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Dynamic partition pruning: the fact table is laid out by month
     // (80 partitions); the months that matter come from a FILTERED dim
     // relation, unknown until runtime — so static pruning can't help, and
@@ -257,6 +284,9 @@ object Extras8 {
                     != 0, FALSE)) AS is_member
          FROM pp LEFT JOIN w ON pp.p // 63 = w.w
          GROUP BY 1, 2 ORDER BY probe_user""",
+    "q_stream_live_tws" ->
+      """SELECT user_id, MAX(value) AS max_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_join_dpp" ->
       """WITH dim AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m
                       FROM lineitem

@@ -10,6 +10,24 @@ class Extras8Spec extends QuerySuiteBase {
     .foreach(checkDeclared(_))
 
   checkDeclared("q_join_dpp")
+  checkDeclared("q_stream_live_tws")
+
+  test("transformWithState running max equals the batch MAX per user") {
+    val batch = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_value")).orderBy("user_id")
+    assert(fingerprint(q("q_stream_live_tws")) == fingerprint(batch),
+      "RocksDB ValueState running max diverged from batch MAX")
+  }
+
+  test("tws query restores the state store provider conf") {
+    // getOption surfaces the conf DEFAULT, so compare before vs after
+    // rather than expecting emptiness.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    q("q_stream_live_tws").count()
+    assert(spark.conf.getOption(key) == before,
+      "provider conf leaked out of the query function")
+  }
 
   test("DPP: the fact scan carries a dynamic pruning partition filter") {
     val plan = q("q_join_dpp").queryExecution.executedPlan.toString()
