@@ -34,7 +34,14 @@ object PlanDump {
     "q_join_bucketed" -> "bucketed co-located join: merge join AND same-key agg with zero hash exchanges — the shuffle was amortized into the write",
     "q_sql_q21" -> "TPC-H Q21: EXISTS + NOT EXISTS pair decorrelated to LeftSemi + LeftAnti hash joins, no per-row subquery",
     "q_sql_q17" -> "TPC-H Q17: correlated scalar AVG decorrelated to one aggregate + join",
-    "q_ts_ohlc" -> "hourly OHLC bars: min_by/max_by partial aggregation — map-side combine does the downsampling"
+    "q_ts_ohlc" -> "hourly OHLC bars: min_by/max_by partial aggregation — map-side combine does the downsampling",
+    "q_join_dpp" -> "dynamic partition pruning: the dim's month set is injected into the fact scan's PartitionFilters at runtime — 80% of partitions never open",
+    "q_agg_countmin" -> "count-min sketch: counters built in ONE partial+final agg over (row,bucket); the 1024-row sketch relation broadcasts to the probes",
+    "q_agg_bloom" -> "bloom filter: 17 bit_or'd words (merge-order-free), built once, broadcast to the membership probes",
+    "q_win_groups_frame" -> "GROUPS frame emulation: dense_rank pre-pass + RANGE frame share ONE Exchange+Sort (two Window ops, one partitioning)",
+    "q_ts_zscore" -> "rolling z-score: bounded ROWS frame — one user_id shuffle, O(1) state per row, the streaming-friendly shape",
+    "q_llm_winnow" -> "winnowing fingerprints: per-row gram expansion (no shuffle) → one doc_id window pass → per-doc agg",
+    "q_layout_zorder" -> "Z-order clustering: four mask-shift rounds per dimension, pure codegen'd integer ops, stats agg is the only shuffle"
   )
 
   def main(args: Array[String]): Unit = {

@@ -57,9 +57,11 @@ object ScaleProbe {
     locally {
       val dir = new java.io.File(s"$out/events_dir")
       val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(s"$out/events.parquet")
-      java.nio.file.Files.deleteIfExists(dst)
-      java.nio.file.Files.move(part.toPath, dst)
+      val dst = new java.io.File(s"$out/events.parquet")
+      // a stale run may have left a DIRECTORY at this name
+      if (dst.isDirectory) { dst.listFiles().foreach(_.delete()); () }
+      dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
     // documents: per-replica vocabulary suffix — replicas of different k

@@ -149,4 +149,32 @@ class PlanAuditSpec extends QuerySuiteBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
+    // The scan-level analog of the reference store's per-block min/max
+    // metadata: with aggregatePushdown on, an ungrouped MIN/MAX/COUNT
+    // never materializes data pages — the scan node carries
+    // PushedAggregation and row groups answer from statistics.
+    // Aggregate pushdown exists only in the DSv2 scan; parquet defaults
+    // to the v1 path via useV1SourceList, so both confs are scoped here.
+    val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions._
+      val agg = Tables.orders(spark, sf)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(o_orderkey), " +
+        "MAX(o_orderkey), COUNT(*)]"),
+        "aggregate not pushed to the parquet footer:\n" + p)
+      val row = agg.head()
+      assert(row.getLong(2) == Tables.orders(spark, sf).count(),
+        "footer-stats COUNT diverged from the row count")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
