@@ -201,6 +201,26 @@ object Extras8 {
       }
     }),
 
+    // Deterministic global shuffle + sharding — the "shuffle the training
+    // data" step between mixing and packing: the sort key is a portable
+    // md5 of the salted doc_id, so the permutation is reproducible across
+    // engines, partitionings, and reruns (never rand()). Shards balance
+    // by key modulo; position within a shard is a per-shard sort — ONE
+    // shuffle on shard, per-partition sort, the exact shape of writing
+    // N tfrecord-style shard files at 100 TB.
+    "q_llm_shuffle" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5long(concat(lit("shuffle:"), col("doc_id").cast("string")))
+            .as("k"))
+        .withColumn("shard", pmod(col("k"), lit(8L)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("shard"), col("pos"), col("doc_id"), col("k"))
+        .orderBy("shard", "pos")
+    }),
+
     // Dynamic partition pruning: the fact table is laid out by month
     // (80 partitions); the months that matter come from a FILTERED dim
     // relation, unknown until runtime — so static pruning can't help, and
@@ -287,6 +307,16 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_llm_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5('shuffle:' || doc_id), 1, 15))
+                           AS BIGINT) AS k
+                    FROM documents)
+         SELECT k % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY k % 8
+                       ORDER BY k, doc_id) AS INT) AS pos,
+                doc_id, k
+         FROM t ORDER BY shard, pos""",
     "q_join_dpp" ->
       """WITH dim AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m
                       FROM lineitem

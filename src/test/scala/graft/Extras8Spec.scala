@@ -11,6 +11,21 @@ class Extras8Spec extends QuerySuiteBase {
 
   checkDeclared("q_join_dpp")
   checkDeclared("q_stream_live_tws")
+  checkDeclared("q_llm_shuffle")
+
+  test("deterministic shuffle is a permutation with dense per-shard positions") {
+    val df = q("q_llm_shuffle").cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(df.count() == n, "shuffle dropped or duplicated docs")
+    assert(df.select("doc_id").distinct().count() == n)
+    // positions are 1..|shard| with no gaps
+    val bad = df.groupBy(col("shard"))
+      .agg(count(lit(1)).as("sz"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"))
+      .where(col("mx") =!= col("sz") || col("mn") =!= 1)
+    assert(bad.count() == 0, "per-shard positions are not dense")
+    df.unpersist()
+  }
 
   test("transformWithState running max equals the batch MAX per user") {
     val batch = Tables.events(spark, sf).groupBy(col("user_id"))
