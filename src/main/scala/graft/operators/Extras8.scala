@@ -201,6 +201,38 @@ object Extras8 {
       }
     }),
 
+    // Welch's t-test between two event populations — the hypothesis-test
+    // member of the stats family (corr/regr/moments share the pattern):
+    // exact DECIMAL power sums per group, pivoted to one row, then ONE
+    // shared IEEE formula — mean difference and the t statistic. Scale:
+    // a partial+final aggregate and a 2-row pivot; nothing re-shuffles.
+    "q_agg_ttest" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val m = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), dec(col("value")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("s1"),
+          sum((col("v") * col("v")).cast(DecimalType(38, 4)))
+            .cast("double").as("s2"))
+      def side(t: String, c: String) =
+        max(when(col("event_type") === t, col(c)))
+      val p = m.agg(
+        side("purchase", "n").as("n1"), side("purchase", "s1").as("s11"),
+        side("purchase", "s2").as("s21"),
+        side("click", "n").as("n2"), side("click", "s1").as("s12"),
+        side("click", "s2").as("s22"))
+      val meanDiff = col("s11") / col("n1") - col("s12") / col("n2")
+      val se = sqrt(
+        (col("s21") - col("s11") * col("s11") / col("n1"))
+          / (col("n1") - 1) / col("n1")
+          + (col("s22") - col("s12") * col("s12") / col("n2"))
+          / (col("n2") - 1) / col("n2"))
+      p.select(col("n1"), col("n2"), r6(meanDiff).as("mean_diff"),
+        r6(meanDiff / se).as("t_welch"))
+    }),
+
     // Deterministic global shuffle + sharding — the "shuffle the training
     // data" step between mixing and packing: the sort key is a portable
     // md5 of the salted doc_id, so the permutation is reproducible across
@@ -307,6 +339,29 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_agg_ttest" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                             * CAST(value AS DECIMAL(18,2))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s2
+                    FROM events WHERE event_type IN ('purchase', 'click')
+                    GROUP BY event_type),
+            p AS (SELECT
+                    MAX(CASE WHEN event_type='purchase' THEN n END) AS n1,
+                    MAX(CASE WHEN event_type='purchase' THEN s1 END) AS s11,
+                    MAX(CASE WHEN event_type='purchase' THEN s2 END) AS s21,
+                    MAX(CASE WHEN event_type='click' THEN n END) AS n2,
+                    MAX(CASE WHEN event_type='click' THEN s1 END) AS s12,
+                    MAX(CASE WHEN event_type='click' THEN s2 END) AS s22
+                  FROM m)
+         SELECT n1, n2,
+                round(s11/n1 - s12/n2, 6) AS mean_diff,
+                round((s11/n1 - s12/n2)
+                      / sqrt((s21 - s11*s11/n1) / (n1 - 1) / n1
+                           + (s22 - s12*s12/n2) / (n2 - 1) / n2), 6)
+                  AS t_welch
+         FROM p""",
     "q_llm_shuffle" ->
       """WITH t AS (SELECT doc_id,
                       CAST(('0x' || substr(md5('shuffle:' || doc_id), 1, 15))

@@ -12,6 +12,17 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_join_dpp")
   checkDeclared("q_stream_live_tws")
   checkDeclared("q_llm_shuffle")
+  checkDeclared("q_agg_ttest")
+
+  test("Welch t agrees in sign and scale with the group means") {
+    val r = q("q_agg_ttest").head()
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    assert(n1 > 1 && n2 > 1, "degenerate groups")
+    // t and mean_diff must share a sign; |t| is |mean_diff| / se with
+    // se > 0, so t = 0 iff mean_diff = 0.
+    val (md, t) = (r.getDouble(2), r.getDouble(3))
+    assert(md * t >= 0, s"sign mismatch: mean_diff=$md t=$t")
+  }
 
   test("deterministic shuffle is a permutation with dense per-shard positions") {
     val df = q("q_llm_shuffle").cache()
