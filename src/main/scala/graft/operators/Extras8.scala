@@ -201,6 +201,38 @@ object Extras8 {
       }
     }),
 
+    // Spark 4 collations: UTF8_LCASE comparison semantics as a COLUMN
+    // PROPERTY — distinct counts, equality and prefix predicates become
+    // case-insensitive without rewriting every expression through
+    // lower(). Mixed-case keys are synthesized (the fixture is uniform
+    // caps); the oracle states the lower() rewrite the collation
+    // replaces. Row-local + one agg; collation compares cost ~lower()
+    // at scan time with no extra pass.
+    "q_fn_collate" -> ((s, d) => {
+      val mixed = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment")))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), mixed.as("seg"))
+        .agg(countDistinct(col("seg")).as("n_binary"),
+          countDistinct(expr("collate(seg, 'UTF8_LCASE')")).as("n_lcase"),
+          sum(when(expr("startswith(collate(seg, 'UTF8_LCASE'), 'bui')"),
+            1L).otherwise(0L)).as("n_building"))
+    }),
+
+    // mask(): the built-in structural PII redaction (uppercase→X,
+    // lowercase→x, digit→n, punctuation kept) — the typed sibling of
+    // q_llm_pii_scrub's regex scrubbing. The oracle reconstructs the
+    // same masking from three character-class replaces.
+    "q_fn_mask" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("mask(concat(substring(text, 1, 20), ':', doc_id))")
+            .as("masked"),
+          expr("mask(concat(substring(text, 1, 20), ':', doc_id), " +
+            "'#', '*', '9')").as("masked_custom"))
+        .orderBy("doc_id")
+    }),
+
     // Welch's t-test between two event populations — the hypothesis-test
     // member of the stats family (corr/regr/moments share the pattern):
     // exact DECIMAL power sums per group, pivoted to one row, then ONE
@@ -339,6 +371,28 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_fn_collate" ->
+      """WITH t AS (SELECT CASE WHEN c_custkey % 2 = 0
+                             THEN upper(c_mktsegment)
+                             ELSE lower(c_mktsegment) END AS seg
+                    FROM customer)
+         SELECT COUNT(DISTINCT seg) AS n_binary,
+                COUNT(DISTINCT lower(seg)) AS n_lcase,
+                CAST(SUM(CASE WHEN starts_with(lower(seg), 'bui')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+         FROM t""",
+    "q_fn_mask" ->
+      """WITH t AS (SELECT doc_id,
+                           substr(text, 1, 20) || ':' || doc_id AS raw
+                    FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS masked,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '9', 'g')
+                  AS masked_custom
+         FROM t ORDER BY doc_id""",
     "q_agg_ttest" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n,
                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,

@@ -13,6 +13,20 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_stream_live_tws")
   checkDeclared("q_llm_shuffle")
   checkDeclared("q_agg_ttest")
+  checkDeclared("q_fn_collate")
+  checkDeclared("q_fn_mask")
+
+  test("UTF8_LCASE collation halves the mixed-case distinct count") {
+    val r = q("q_fn_collate").head()
+    assert(r.getLong(0) == 2 * r.getLong(1),
+      s"binary=${r.getLong(0)} lcase=${r.getLong(1)}: collation did not " +
+        "merge the synthesized case variants")
+  }
+
+  test("mask leaves no letters or digits behind") {
+    assert(q("q_fn_mask")
+      .where(col("masked").rlike("[A-Za-z0-9&&[^Xxn]]")).count() == 0)
+  }
 
   test("Welch t agrees in sign and scale with the group means") {
     val r = q("q_agg_ttest").head()
