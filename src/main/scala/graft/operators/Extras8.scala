@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -201,6 +202,40 @@ object Extras8 {
       }
     }),
 
+    // Window EXCLUDE CURRENT ROW (SQL:2011): Spark has no frame
+    // exclusion, but over an exact DECIMAL sum the identity
+    // frame−current is lossless — while the DuckDB oracle runs its
+    // NATIVE EXCLUDE CURRENT ROW executor. Two genuinely different
+    // implementations, one hash: the strongest cross-check shape (the
+    // GROUPS-frame emulation only re-states its own rewrite).
+    "q_win_exclude" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-5, 5)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          dec(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          (sum(col("v")).over(w) - col("v")).cast("double").as("sum_excl"),
+          (count(lit(1)).over(w) - 1).as("n_excl"))
+        .orderBy("event_id")
+    }),
+
+    // Median absolute deviation — the robust dispersion partner of
+    // q_agg_median: per-group median, one join back, median of absolute
+    // deviations. All values are 0.25-grained doubles (quantities are
+    // small integers), so every median/average is binary-exact — no
+    // rounding needed. The oracle uses DuckDB's NATIVE mad(), again a
+    // different implementation of the same definition.
+    "q_agg_mad" -> ((s, d) => {
+      val med = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med"))
+      Tables.lineitem(s, d).join(med, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(median(abs(col("l_quantity") - col("med"))).as("mad_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Spark 4 collations: UTF8_LCASE comparison semantics as a COLUMN
     // PROPERTY — distinct counts, equality and prefix predicates become
     // case-insensitive without rewriting every expression through
@@ -371,6 +406,22 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_win_exclude" ->
+      """WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t,
+                           CAST(value AS DECIMAL(18,2)) AS v
+                    FROM events)
+         SELECT event_id, user_id,
+                CAST(SUM(v) OVER w AS DOUBLE) AS sum_excl,
+                COUNT(*) OVER w AS n_excl
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING
+                      EXCLUDE CURRENT ROW)
+         ORDER BY event_id""",
+    "q_agg_mad" ->
+      """SELECT l_returnflag, mad(l_quantity) AS mad_qty,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_fn_collate" ->
       """WITH t AS (SELECT CASE WHEN c_custkey % 2 = 0
                              THEN upper(c_mktsegment)

@@ -15,6 +15,25 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_agg_ttest")
   checkDeclared("q_fn_collate")
   checkDeclared("q_fn_mask")
+  checkDeclared("q_win_exclude")
+  checkDeclared("q_agg_mad")
+
+  test("frame-minus-current equals a true exclusion (spot identity)") {
+    // n_excl must be frame size − 1 (0..10), and a user's single-event
+    // window yields sum_excl = 0, n_excl = 0.
+    val df = q("q_win_exclude")
+    assert(df.where(col("n_excl") < 0 || col("n_excl") > 10).count() == 0)
+    assert(df.where(col("n_excl") === 0 && col("sum_excl") =!= 0.0)
+      .count() == 0)
+  }
+
+  test("MAD is bounded by half the group's range") {
+    val b = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(((max(col("l_quantity")) - min(col("l_quantity"))) / 2)
+        .as("half_range"))
+    assert(q("q_agg_mad").join(b, "l_returnflag")
+      .where(col("mad_qty") > col("half_range")).count() == 0)
+  }
 
   test("UTF8_LCASE collation halves the mixed-case distinct count") {
     val r = q("q_fn_collate").head()
