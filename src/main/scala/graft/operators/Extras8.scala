@@ -202,6 +202,40 @@ object Extras8 {
       }
     }),
 
+    // Scalar CSV codec round-trip (the from_json/to_json sibling for
+    // delimited text columns): to_csv serializes a struct, from_csv
+    // re-imposes the schema. Output is the ROUND-TRIPPED fields — the
+    // serialized line itself is engine-formatting-dependent (double
+    // repr), but serialize∘parse is the identity both engines agree on,
+    // so the oracle is simply the original columns.
+    "q_fn_csv" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("""from_csv(
+                    to_csv(struct(c_name, c_mktsegment, c_acctbal)),
+                    'n STRING, seg STRING, bal DOUBLE')""").as("r"))
+        .select(col("c_custkey"), col("r.n").as("name"),
+          col("r.seg").as("seg"), col("r.bal").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Spark 4 XML codec: from_xml parses an XML document column against
+    // a schema (the multimodal-metadata sidecar format). The document is
+    // built from fixture columns (no escaping needed — the synthetic
+    // strings carry no XML metacharacters), and the oracle states the
+    // identity the round-trip must satisfy.
+    "q_fn_xml" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("""from_xml(
+                    concat('<r><n>', c_name, '</n><seg>', c_mktsegment,
+                           '</seg><k>', c_nationkey, '</k></r>'),
+                    'n STRING, seg STRING, k INT')""").as("r"))
+        .select(col("c_custkey"), col("r.n").as("name"),
+          col("r.seg").as("seg"), col("r.k").as("k"))
+        .orderBy("c_custkey")
+    }),
+
     // Window EXCLUDE CURRENT ROW (SQL:2011): Spark has no frame
     // exclusion, but over an exact DECIMAL sum the identity
     // frame−current is lossless — while the DuckDB oracle runs its
@@ -406,6 +440,14 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_fn_csv" ->
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS seg,
+                c_acctbal AS bal
+         FROM customer ORDER BY c_custkey""",
+    "q_fn_xml" ->
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS seg,
+                c_nationkey AS k
+         FROM customer ORDER BY c_custkey""",
     "q_win_exclude" ->
       """WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS t,
                            CAST(value AS DECIMAL(18,2)) AS v

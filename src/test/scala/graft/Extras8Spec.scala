@@ -17,6 +17,21 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_fn_mask")
   checkDeclared("q_win_exclude")
   checkDeclared("q_agg_mad")
+  checkDeclared("q_fn_csv")
+  checkDeclared("q_fn_xml")
+
+  test("csv and xml round-trips are lossless against the source table") {
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      .orderBy("c_custkey")
+    assert(fingerprint(q("q_fn_csv")) == fingerprint(src))
+    val srcX = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("k"))
+      .orderBy("c_custkey")
+    assert(fingerprint(q("q_fn_xml")) == fingerprint(srcX))
+  }
 
   test("frame-minus-current equals a true exclusion (spot identity)") {
     // n_excl must be frame size − 1 (0..10), and a user's single-event
