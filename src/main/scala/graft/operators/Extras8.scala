@@ -202,6 +202,34 @@ object Extras8 {
       }
     }),
 
+    // Triangle counting — the second graph-analytics operator (next to
+    // q_llm_dedup_clusters' connected components): vertices are a
+    // deterministic user subset, edges are hourly same-type co-occurrence
+    // (distinct pairs), triangles close over three edge joins with
+    // a<b<c ordering so each triangle counts once. Scale: the classic
+    // approach — edges shuffle on their join vertex; the a<b orientation
+    // halves the join fan-out; at 100 TB you'd add degree-based
+    // orientation (join through the lower-degree endpoint).
+    "q_graph_triangles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(pmod(col("user_id"), lit(7L)) === 0)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("event_type").as("t"), col("user_id").as("u"))
+        .distinct()
+      val e = ev.as("x").join(ev.as("y"),
+          col("x.h") === col("y.h") && col("x.t") === col("y.t")
+            && col("x.u") < col("y.u"))
+        .select(col("x.u").as("a"), col("y.u").as("b"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e2.b") === col("e3.b") && col("e1.a") === col("e3.a"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri)
+    }),
+
     // Scalar CSV codec round-trip (the from_json/to_json sibling for
     // delimited text columns): to_csv serializes a struct, from_csv
     // re-imposes the schema. Output is the ROUND-TRIPPED fields — the
@@ -440,6 +468,18 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_graph_triangles" ->
+      """WITH v AS (SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h,
+                                    event_type AS t, user_id AS u
+                    FROM events WHERE user_id % 7 = 0),
+            e AS (SELECT DISTINCT x.u AS a, y.u AS b
+                  FROM v x JOIN v y
+                    ON x.h = y.h AND x.t = y.t AND x.u < y.u)
+         SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+                (SELECT COUNT(*)
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                           JOIN e e3 ON e2.b = e3.b AND e1.a = e3.a)
+                  AS n_triangles""",
     "q_fn_csv" ->
       """SELECT c_custkey, c_name AS name, c_mktsegment AS seg,
                 c_acctbal AS bal

@@ -20,6 +20,32 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_fn_csv")
   checkDeclared("q_fn_xml")
 
+  checkDeclared("q_graph_triangles")
+
+  test("triangle count matches a brute-force closure over collected edges") {
+    val ev = Tables.events(spark, sf)
+      .where(pmod(col("user_id"), lit(7L)) === 0)
+      .select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type").as("t"), col("user_id").as("u"))
+      .distinct()
+    val edges = ev.as("x").join(ev.as("y"),
+        col("x.h") === col("y.h") && col("x.t") === col("y.t")
+          && col("x.u") < col("y.u"))
+      .select(col("x.u").as("a"), col("y.u").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for (i <- verts.indices; j <- i + 1 until verts.size;
+         k <- j + 1 until verts.size) {
+      val (a, b, c) = (verts(i), verts(j), verts(k))
+      if (edges((a, b)) && edges((b, c)) && edges((a, c))) brute += 1
+    }
+    val r = q("q_graph_triangles").head()
+    assert(r.getLong(0) == edges.size.toLong, "edge count mismatch")
+    assert(r.getLong(1) == brute,
+      s"distributed count ${r.getLong(1)} != brute-force $brute")
+  }
+
   test("csv and xml round-trips are lossless against the source table") {
     val src = Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_name").as("name"),
