@@ -31,6 +31,8 @@ object Extras8 {
     java.nio.file.Files.createTempDirectory("graft_bin_docs").toString
   private lazy val dppTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft_dpp_orders").toString
+  private lazy val libsvmTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft_libsvm_emb").toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -200,6 +202,35 @@ object Extras8 {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // libsvm source — the ML interchange format: embeddings serialized as
+    // "label idx:val" lines (components pre-rounded to 6 dp so the text
+    // is parse-exact; vec_id rides in the label field, which is the only
+    // identity libsvm carries), read back through format("libsvm") into
+    // (label, features VECTOR), then checksummed via vector_to_array +
+    // exact DECIMAL sums. Ties are impossible by dyadic-rationality of
+    // floats (a 7-digit-terminating decimal cannot be a float), so the
+    // 6-dp round is cross-engine safe without slack.
+    "q_source_libsvm" -> ((s, d) => {
+      val tmp = libsvmTmpDir + "/emb"
+      Tables.embeddings(s, d)
+        .select(concat(col("vec_id").cast("string"), lit(" "),
+          concat_ws(" ", transform(col("embedding"),
+            (x, i) => concat((i + 1).cast("string"), lit(":"),
+              round(x.cast("double"), 6).cast("string"))))).as("line"))
+        .write.mode("overwrite").text(tmp)
+      s.read.format("libsvm").load(tmp)
+        .select(col("label").cast("long").as("vec_id"),
+          org.apache.spark.ml.functions.vector_to_array(col("features"))
+            .as("arr"))
+        .select(col("vec_id"), size(col("arr")).as("dim"),
+          expr("""CAST(aggregate(
+                    transform(arr, x -> CAST(x AS DECIMAL(18,6))),
+                    CAST(0 AS DECIMAL(28,6)),
+                    (a, x) -> CAST(a + x AS DECIMAL(28,6)))
+                  AS DOUBLE)""").as("vsum"))
+        .orderBy("vec_id")
     }),
 
     // Triangle counting — the second graph-analytics operator (next to
@@ -468,6 +499,14 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_source_libsvm" ->
+      """WITH u AS (SELECT vec_id, len(embedding) AS dim,
+                           unnest(embedding) AS x
+                    FROM embeddings)
+         SELECT vec_id, CAST(MAX(dim) AS INT) AS dim,
+                CAST(SUM(CAST(round(CAST(x AS DOUBLE), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) AS vsum
+         FROM u GROUP BY vec_id ORDER BY vec_id""",
     "q_graph_triangles" ->
       """WITH v AS (SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h,
                                     event_type AS t, user_id AS u

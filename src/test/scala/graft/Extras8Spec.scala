@@ -21,6 +21,14 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_fn_xml")
 
   checkDeclared("q_graph_triangles")
+  checkDeclared("q_source_libsvm")
+
+  test("libsvm round-trip recovers every vector at full 64-dim width") {
+    val df = q("q_source_libsvm")
+    assert(df.count() == Tables.embeddings(spark, sf).count())
+    assert(df.where(col("dim") =!= 64).count() == 0,
+      "sparse parse dropped trailing dimensions")
+  }
 
   test("triangle count matches a brute-force closure over collected edges") {
     val ev = Tables.events(spark, sf)
