@@ -204,6 +204,43 @@ object Extras8 {
       }
     }),
 
+    // Exact-arithmetic k-means assignment (one Lloyd step, k=4): every
+    // distance is a DECIMAL sum of squared 6-dp-quantized differences, so
+    // argmin comparisons are EXACT — no float-order nondeterminism
+    // anywhere, and the oracle reproduces the identical integers. One
+    // step rather than a fixed-N loop by design: iterating would need
+    // the new centroids' means, whose 6-dp re-quantization is the one
+    // documented cross-engine rounding hazard (see q_llm_ngram_lm note);
+    // the iterative-convergence pattern itself is already exercised by
+    // q_llm_dedup_clusters. Scale shape: centroids broadcast (k×dim
+    // rows), embeddings never shuffle until the per-vector argmin.
+    "q_llm_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double"), 6).cast(DecimalType(18, 6)).as("q"))
+      val c = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("q").as("cv"))
+      val diff = (col("q") - col("cv")).cast(DecimalType(7, 6))
+      val dist = e.join(broadcast(c), "dim")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum(diff * diff).as("dist"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("c"))
+      dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(e.where(col("dim") === 1)
+          .select(col("vec_id"), col("q").as("q1")), "vec_id")
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist")).cast("double").as("inertia"),
+          sum(col("q1")).cast("double").as("s_dim1"))
+        .select(col("c").as("cluster"), col("n_members"),
+          col("inertia"), col("s_dim1"))
+        .orderBy("cluster")
+    }),
+
     // libsvm source — the ML interchange format: embeddings serialized as
     // "label idx:val" lines (components pre-rounded to 6 dp so the text
     // is parse-exact; vec_id rides in the label field, which is the only
@@ -499,6 +536,29 @@ object Extras8 {
     "q_stream_live_tws" ->
       """SELECT user_id, MAX(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_llm_kmeans" ->
+      """WITH x AS (SELECT vec_id, embedding,
+                           unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS (SELECT vec_id, dim,
+                    CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                         AS DECIMAL(18,6)) AS q
+                  FROM x),
+            c AS (SELECT vec_id AS c, dim, q AS cv FROM e WHERE vec_id < 4),
+            d AS (SELECT e.vec_id, c.c,
+                    SUM(CAST(e.q - c.cv AS DECIMAL(7,6))
+                        * CAST(e.q - c.cv AS DECIMAL(7,6))) AS dist
+                  FROM e JOIN c USING (dim) GROUP BY 1, 2),
+            a AS (SELECT vec_id, c, dist,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, c) AS rn
+                  FROM d)
+         SELECT a.c AS cluster, COUNT(*) AS n_members,
+                CAST(SUM(a.dist) AS DOUBLE) AS inertia,
+                CAST(SUM(e1.q) AS DOUBLE) AS s_dim1
+         FROM a JOIN e e1 ON e1.vec_id = a.vec_id AND e1.dim = 1
+         WHERE a.rn = 1
+         GROUP BY 1 ORDER BY cluster""",
     "q_source_libsvm" ->
       """WITH u AS (SELECT vec_id, len(embedding) AS dim,
                            unnest(embedding) AS x

@@ -22,6 +22,15 @@ class Extras8Spec extends QuerySuiteBase {
 
   checkDeclared("q_graph_triangles")
   checkDeclared("q_source_libsvm")
+  checkDeclared("q_llm_kmeans")
+
+  test("k-means step: clusters partition the corpus, seeds stay home") {
+    val df = q("q_llm_kmeans")
+    assert(df.agg(sum(col("n_members"))).head().getLong(0) ==
+      Tables.embeddings(spark, sf).count(), "assignment is not a partition")
+    assert(df.count() == 4, "a seed cluster lost all members")
+    assert(df.where(col("inertia") < 0).count() == 0)
+  }
 
   test("libsvm round-trip recovers every vector at full 64-dim width") {
     val df = q("q_source_libsvm")
