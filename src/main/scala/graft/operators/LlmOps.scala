@@ -204,57 +204,15 @@ object LlmOps {
     // Near-dup CLUSTERS: connected components of the pair graph, each doc
     // labeled with the smallest doc_id in its component — the transitive
     // canonicalization a real dedup needs (A~B, B~C ⇒ one cluster even
-    // when A~C was never scored). Distributed iterative min-label
-    // propagation: per round, every node takes the min of its own and its
-    // neighbors' labels; converges in <= diameter rounds. Rounds use
-    // persist()/unpersist() — CacheManager-registered, so superseded
-    // blocks really are freed (Dataset.unpersist is a NO-OP on
-    // localCheckpoint'd plans, verified against the Spark 4.1.2 cache
-    // path). Lineage depth grows with the round count, which is bounded
-    // by the component diameter — tiny for near-dup clusters; a workload
-    // with adversarially long chains would add a checkpoint every ~10
-    // rounds.
+    // when A~C was never scored). The propagation kernel lives in
+    // Components.minLabel (shared with the embedding-graph semantic
+    // dedup); rounds use persist()/unpersist() — CacheManager-registered,
+    // so superseded blocks really are freed (Dataset.unpersist is a
+    // NO-OP on localCheckpoint'd plans, verified against the Spark 4.1.2
+    // cache path).
     "q_llm_dedup_clusters" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist()
-      // Seed with min(self, neighbors) — the same shuffle a distinct-ids
-      // init would cost, but it IS the first propagation round.
-      var labels = edges
-        .groupBy(col("doc_a").as("id"))
-        .agg(min(col("doc_b")).as("mnb"))
-        .select(col("id"), least(col("id"), col("mnb")).as("lbl"))
-        .persist()
-      // Convergence check without a per-round join: labels only ever
-      // DECREASE under min-propagation (next = min(own, neighbors')), so
-      // the label sum strictly decreases iff any label changed. One
-      // scalar aggregate per round — which doubles as the action that
-      // materializes the round's persist() — replaces the
-      // join+filter+count change probe.
-      // coalesce: sum over an EMPTY label frame is NULL (a pair-free
-      // corpus must yield an empty result, not an NPE).
-      def sumOf(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      var lblSum = sumOf(labels)
-      var changed = true
-      while (changed) {
-        val prop = edges
-          .join(labels, edges("doc_a") === labels("id"))
-          .select(col("doc_b").as("id"), col("lbl"))
-        val next = labels.select(col("id"), col("lbl")).unionByName(prop)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .persist()
-        val nextSum = sumOf(next)
-        changed = nextSum != lblSum
-        lblSum = nextSum
-        labels.unpersist()
-        labels = next
-      }
-      edges.unpersist()
-      // The returned plan still references the final `labels` cache; if
-      // its blocks are ever evicted the intact lineage recomputes them.
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      Components.minLabel(nearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     }),
 

@@ -34,6 +34,22 @@ object LlmSketches {
     * the ANN search and the embedding near-dup queries (the DuckDB twins
     * share the matching CTE prefix, `lshBucketCte`): quantized embedding
     * plus its 4-plane 16-bucket signature. */
+  /** LSH-candidate embedding near-dup pairs (cosine ≥ 0.35 after the
+    * single-plane-flip probe join) — shared by q_llm_dedup_embed_lsh and
+    * the semantic-cluster op. */
+  private def embedNearPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = hyperplaneBucketed(s, d)
+    val probed = emb.select(col("vec_id"), col("qe"),
+      explode(array(ProbeMasks.map(m =>
+        col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
+    probed.as("a")
+      .join(emb.as("b"),
+        col("a.pb") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (longDot(col("a.qe"), col("b.qe")).cast("double") / 1e12).as("score"))
+      .where(col("score") >= 0.35)
+  }
+
   private def hyperplaneBucketed(s: SparkSession, d: String): DataFrame = {
     val planes: Seq[Column] = (0 until 4).map { j =>
       typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000).toArray)
@@ -213,17 +229,19 @@ object LlmSketches {
       // pair the 5 probe keys are pairwise distinct, so at most ONE can
       // equal the right side's bucket — the join emits each pair once
       // (unlike simhash banding, where several bands can match).
-      val emb = hyperplaneBucketed(s, d)
-      val probed = emb.select(col("vec_id"), col("qe"),
-        explode(array(ProbeMasks.map(m =>
-          col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
-      probed.as("a")
-        .join(emb.as("b"),
-          col("a.pb") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          (longDot(col("a.qe"), col("b.qe")).cast("double") / 1e12).as("score"))
-        .where(col("score") >= 0.35)
-        .orderBy("va", "vb")
+      embedNearPairs(s, d).orderBy("va", "vb")
+    }),
+
+    // SemDeDup-style semantic dedup: connected components over the
+    // embedding near-dup pair graph (the LSH candidates above), each
+    // vector labeled with its component's smallest vec_id and the
+    // representative flagged keep=true — the semantic sibling of the
+    // shingle-graph q_llm_dedup_clusters, sharing Components.minLabel.
+    "q_llm_dedup_semantic" -> ((s, d) => {
+      Components.minLabel(embedNearPairs(s, d).select(col("va"), col("vb")))
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("keep"))
+        .orderBy("vec_id")
     }),
 
     // Random-hyperplane LSH ANN: 4 fixed portable hyperplanes give a
@@ -320,6 +338,34 @@ object LlmSketches {
          SELECT va, vb, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
          WHERE CAST(dot AS DOUBLE) / 1e12 >= 0.35
          ORDER BY va, vb""",
+    // Recursive closure over the SAME LSH pair graph: each vector joins
+    // its component's smallest vec_id; keep flags the representative.
+    "q_llm_dedup_semantic" ->
+      s"""WITH RECURSIVE $lshBucketCte,
+            pr AS (SELECT vec_id, CAST(xor(bkt, m) AS INT) AS pb
+                   FROM bk, unnest([0, 1, 2, 4, 8]) u(m)),
+            cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                     FROM pr a JOIN bk b
+                       ON a.pb = b.bkt AND a.vec_id < b.vec_id),
+            p AS (SELECT c.va, c.vb, x.qe AS e, y.qe AS q0e
+                  FROM cand c
+                  JOIN qv x ON x.vec_id = c.va
+                  JOIN qv y ON y.vec_id = c.vb),
+            pu AS (SELECT va, vb, e, q0e,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT va, vb, SUM(e[i] * q0e[i]) AS dot
+                   FROM pu GROUP BY va, vb),
+            nd AS (SELECT va, vb FROM ps
+                   WHERE CAST(dot AS DOUBLE) / 1e12 >= 0.35),
+            edges AS (SELECT va AS a, vb AS b FROM nd
+                      UNION ALL SELECT vb, va FROM nd),
+            reach(n, l) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.n)
+         SELECT n AS vec_id, MIN(l) AS cluster_id,
+                (n = MIN(l)) AS keep
+         FROM reach GROUP BY n ORDER BY vec_id""",
     "q_llm_ann_lsh" ->
       s"""WITH $lshBucketCte,
             qb AS (SELECT bkt AS qbkt FROM bk WHERE vec_id = 0),

@@ -23,6 +23,30 @@ class Extras8Spec extends QuerySuiteBase {
   checkDeclared("q_graph_triangles")
   checkDeclared("q_source_libsvm")
   checkDeclared("q_llm_kmeans")
+  checkDeclared("q_llm_dedup_semantic")
+
+  test("semantic clusters: labels are component minima over the pair graph") {
+    val df = q("q_llm_dedup_semantic").cache()
+    // every cluster label is a member of its own cluster, and the keep
+    // flag marks exactly the label row
+    assert(df.where(col("keep") =!= (col("vec_id") === col("cluster_id")))
+      .count() == 0)
+    val labels = df.select(col("cluster_id")).distinct()
+      .join(df.select(col("vec_id")),
+        col("cluster_id") === col("vec_id"), "left_anti")
+    assert(labels.count() == 0, "a cluster label is not itself a member")
+    // edges connect only same-cluster vectors (labels are closed)
+    val lbl = df.select(col("vec_id"), col("cluster_id"))
+    val pairs = q("q_llm_dedup_embed_lsh").select(col("va"), col("vb"))
+    val crossEdges = pairs
+      .join(lbl.withColumnRenamed("vec_id", "va")
+        .withColumnRenamed("cluster_id", "ca"), "va")
+      .join(lbl.withColumnRenamed("vec_id", "vb")
+        .withColumnRenamed("cluster_id", "cb"), "vb")
+      .where(col("ca") =!= col("cb"))
+    assert(crossEdges.count() == 0, "an edge crosses two clusters")
+    df.unpersist()
+  }
 
   test("k-means step: clusters partition the corpus, seeds stay home") {
     val df = q("q_llm_kmeans")
