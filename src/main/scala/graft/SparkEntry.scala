@@ -31,7 +31,8 @@ object SparkEntry {
     (Extras5.queries, Extras5.oracle),
     (Extras6.queries, Extras6.oracle),
     (Extras7.queries, Extras7.oracle),
-    (Extras8.queries, Extras8.oracle)
+    (Extras8.queries, Extras8.oracle),
+    (Extras9.queries, Extras9.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
