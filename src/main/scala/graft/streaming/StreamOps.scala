@@ -76,13 +76,33 @@ object StreamOps {
     withCappedState(df.sparkSession)(f)
 
   /** Public form for runners outside this object (e.g. the graded
-    * checkpoint-resume query drives its own start/stop cycle). */
+    * checkpoint-resume query drives its own start/stop cycle).
+    *
+    * Besides the partition cap, this pins the state store to the RocksDB
+    * provider for the duration of the run: at 100 TB of keyed state the
+    * default heap provider is not survivable (state must fit in executor
+    * memory and full-snapshot checkpoints stall batches), while RocksDB
+    * spills to local disk and checkpoints incrementally. Running EVERY
+    * graded live-streaming query under RocksDB means the provider the
+    * results are graded on is the provider a production cluster would
+    * use — results are provider-invariant (RocksDbSweepSpec re-proves
+    * hash-equality against the heap provider on every test run). */
   def withCappedState[T](spark: SparkSession)(f: => T): T = {
     val conf = spark.conf
-    val key = "spark.sql.shuffle.partitions"
-    val prev = conf.get(key)
-    conf.set(key, math.min(prev.toInt, 8).toString)
-    try f finally conf.set(key, prev)
+    val partKey = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevPart = conf.get(partKey)
+    val prevProv = conf.getOption(provKey)
+    conf.set(partKey, math.min(prevPart.toInt, 8).toString)
+    conf.set(provKey, sys.props.getOrElse("graft.stateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    try f finally {
+      conf.set(partKey, prevPart)
+      prevProv match {
+        case Some(v) => conf.set(provKey, v)
+        case None => conf.unset(provKey)
+      }
+    }
   }
 
   /** Run a (streaming) frame to completion into a memory sink under
