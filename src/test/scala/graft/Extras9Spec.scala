@@ -3,7 +3,34 @@ package graft
 import org.apache.spark.sql.functions._
 
 class Extras9Spec extends QuerySuiteBase {
-  Seq("q_stream_live_resume").foreach(checkDeclared(_))
+  Seq("q_stream_live_resume", "q_agg_quantile_sketch").foreach(checkDeclared(_))
+
+  test("quantile sketch: exact quantile always inside the bucket bound") {
+    q("q_agg_quantile_sketch").collect().foreach { r =>
+      val (exact, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(exact >= lo && exact <= hi,
+        s"exact $exact outside sketch bucket [$lo,$hi] — the sketch's " +
+          "error guarantee (bucket width) is broken")
+    }
+  }
+
+  test("quantile sketch summaries merge associatively (any shard grouping)") {
+    import Det._
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      (col("value").cast(Det.D2) * 100).cast("long").as("cents"))
+    val perShard = ev.groupBy(
+        pmod(md5long(col("event_id").cast("string")), lit(16L)).as("shard"),
+        expr("cents div 50").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // merge all 16 at once vs merge two halves then merge the partials —
+    // identical histograms (integer sums are associative/commutative).
+    val all = perShard.groupBy("b").agg(sum("n").as("n"))
+    val halves = perShard
+      .groupBy(expr("shard div 8").as("half"), col("b"))
+      .agg(sum(col("n")).as("n"))
+      .groupBy("b").agg(sum("n").as("n"))
+    assert(fingerprint(all.orderBy("b")) == fingerprint(halves.orderBy("b")))
+  }
 
   test("checkpoint resume equals the batch aggregate (exactly-once)") {
     val live = q("q_stream_live_resume")
