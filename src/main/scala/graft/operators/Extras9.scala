@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -16,6 +16,37 @@ import graft.{Det, FixtureCache, Tables}
   */
 object Extras9 {
   import Det._
+
+  /** Hilbert curve order (bits per dimension): 256×256 grid. The index
+    * itself is the codegen'd HilbertIndex expression (an unrolled Column
+    * formula duplicates each round's subtrees into the next — tree size
+    * exponential in the order; measured minutes of driver-side analysis
+    * at order 8). */
+  private val HilbertOrder = 8
+  private val HilbertSide = 1L << HilbertOrder
+
+  /** The same rounds as DuckDB SQL: r0..r7 chained CTEs over (x, y, d),
+    * original coords carried as (x0, y0) for the span aggregate. */
+  private def hilbertRoundsSql(from: String): (String, String) = {
+    val rounds = Iterator.iterate(HilbertSide >> 1)(_ >> 1)
+      .takeWhile(_ > 0).zipWithIndex.map { case (s, i) =>
+        val prev = if (i == 0) from else s"r${i - 1}"
+        s"""r$i AS (
+           SELECT o_orderkey, x0, y0,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+                  ELSE y END AS y,
+             d + ${s * s} * xor(3 * rx, ry) AS d
+           FROM (SELECT *,
+                   CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+                 FROM $prev))"""
+      }.toSeq
+    (rounds.mkString(",\n"), s"r${rounds.size - 1}")
+  }
 
   /** Unique memory-sink names per invocation (memory sink tables live for
     * the session; a fixed name would collide across invocations). */
@@ -143,6 +174,54 @@ object Extras9 {
           (col("b_est") * 50).as("est_lo_cents"),
           (col("b_est") * 50 + 49).as("est_hi_cents"))
         .orderBy("q_ppm")
+    }),
+
+    // xpath scalar family — typed XPath extraction over an XML column
+    // (xpath_string / xpath_int / xpath_double / xpath_boolean / xpath →
+    // array), completing the XML surface next to q_fn_xml's from_xml.
+    // The document is synthesized from base columns, so the oracle can
+    // STATE the expected scalars directly from the raw table: the check
+    // proves the synth→parse→extract round trip recovers every value
+    // exactly. Balance is stringified through DECIMAL(18,2) (both engines
+    // then parse the identical digits to the same nearest double). Pure
+    // per-row projection — no shuffle, codegen end to end.
+    "q_fn_xpath" -> ((s, d) => {
+      val xml = concat(
+        lit("<r><n>"), col("c_name"), lit("</n><k>"), col("c_nationkey"),
+        lit("</k><b>"), col("c_acctbal").cast(D2), lit("</b><t>"),
+        col("c_mktsegment"), lit("</t><t>"), col("c_nationkey"),
+        lit("</t></r>"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), xml.as("x"))
+        .select(col("c_custkey"),
+          xpath_string(col("x"), lit("/r/n/text()")).as("name_s"),
+          xpath_int(col("x"), lit("/r/k/text()")).as("nk"),
+          xpath_double(col("x"), lit("/r/b/text()")).as("bal"),
+          xpath_boolean(col("x"), lit("/r/b")).as("has_b"),
+          size(xpath(col("x"), lit("/r/t/text()"))).as("n_t"),
+          concat_ws("|", xpath(col("x"), lit("/r/t/text()"))).as("tags"))
+        .orderBy("c_custkey")
+    }),
+
+    // HILBERT-CURVE LAYOUT beside q_layout_zorder: same contract (bucket
+    // rows by a space-filling index over (custkey, totalprice), prove
+    // both dimensions stay range-bounded within every bucket), but the
+    // Hilbert walk never jumps across the plane, so bucket spans — the
+    // min/max file stats a lakehouse skips files by — are tighter than
+    // Z-order's (Extras9Spec measures both curves on the same grid and
+    // asserts it). Index math is an unrolled integer recurrence per row;
+    // the only shuffle is the final stats aggregate.
+    "q_layout_hilbert" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(HilbertSide))
+      val y = pmod(floor(col("o_totalprice")).cast("long"), lit(HilbertSide))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), x.as("x"), y.as("y"),
+          graft.functions.HilbertIndex.hilbert(x, y, HilbertOrder).as("hval"))
+        .groupBy(expr("hval div 1024").as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("hbucket")
     })
   )
 
@@ -181,6 +260,36 @@ object Extras9 {
               est.b_est * 50 AS est_lo_cents,
               est.b_est * 50 + 49 AS est_hi_cents
        FROM est JOIN ex ON est.q_ppm = ex.q_ppm
-       ORDER BY est.q_ppm"""
+       ORDER BY est.q_ppm""",
+    // Stated-scalar oracle: the XML is synthesized from these base
+    // columns, so extraction must recover exactly these values.
+    "q_fn_xpath" ->
+      """SELECT c_custkey,
+                c_name AS name_s,
+                CAST(c_nationkey AS INT) AS nk,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+                TRUE AS has_b,
+                CAST(2 AS INT) AS n_t,
+                c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS tags
+         FROM customer ORDER BY c_custkey""",
+    "q_layout_hilbert" -> {
+      val (rounds, last) = hilbertRoundsSql("pts")
+      s"""WITH pts AS (
+           SELECT o_orderkey,
+                  CAST(o_custkey % $HilbertSide AS BIGINT) AS x0,
+                  CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % $HilbertSide
+                       AS BIGINT) AS y0,
+                  CAST(o_custkey % $HilbertSide AS BIGINT) AS x,
+                  CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % $HilbertSide
+                       AS BIGINT) AS y,
+                  CAST(0 AS BIGINT) AS d
+           FROM orders),
+         $rounds
+         SELECT d // 1024 AS hbucket, COUNT(*) AS n,
+                MIN(x0) AS min_x, MAX(x0) AS max_x,
+                MIN(y0) AS min_y, MAX(y0) AS max_y
+         FROM $last
+         GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

@@ -3,7 +3,58 @@ package graft
 import org.apache.spark.sql.functions._
 
 class Extras9Spec extends QuerySuiteBase {
-  Seq("q_stream_live_resume", "q_agg_quantile_sketch").foreach(checkDeclared(_))
+  Seq("q_stream_live_resume", "q_agg_quantile_sketch",
+    "q_fn_xpath", "q_layout_hilbert").foreach(checkDeclared(_))
+
+  test("hilbert walk is a bijection and never jumps (unit-step curve)") {
+    import graft.functions.HilbertIndex.walk
+    val order = 8
+    val n = 1 << (2 * order)
+    val side = 1 << order
+    // invert xy→d by filling an array; duplicates/holes fail loudly
+    val cell = Array.fill(n)(-1)
+    for (x <- 0 until side; y <- 0 until side) {
+      val d = walk(x, y, order).toInt
+      assert(cell(d) == -1, s"d=$d hit twice — not a bijection")
+      cell(d) = x * side + y
+    }
+    // the defining locality property (Z-order does NOT have it):
+    // consecutive curve positions are always grid NEIGHBORS
+    for (d <- 1 until n) {
+      val (x0, y0) = (cell(d - 1) / side, cell(d - 1) % side)
+      val (x1, y1) = (cell(d) / side, cell(d) % side)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at d=$d: ($x0,$y0)→($x1,$y1)")
+    }
+  }
+
+  test("hilbert buckets span tighter than z-order at unaligned widths") {
+    import graft.functions.HilbertIndex.hilbert
+    // At power-of-4 widths both curves' buckets are aligned 2^k×2^k tiles
+    // (identical spans by construction); the locality advantage shows at
+    // any OTHER width — the general case for real file-size-based layout
+    // targets, which size splits by bytes, not by 4^k cell counts.
+    def spread(c: org.apache.spark.sql.Column) = {
+      val v0 = c.bitwiseAND(lit(0xFFFFL))
+      val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+      v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val pts = Tables.orders(spark, sf)
+      .select(pmod(col("o_custkey"), lit(256L)).as("x"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(256L)).as("y"))
+      .select(col("x"), col("y"),
+        hilbert(col("x"), col("y"), 8).as("h"),
+        spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)).as("z"))
+    def avgSpan(idx: String): Double = pts
+      .groupBy(expr(s"$idx div 1000"))
+      .agg((max(col("x")) - min(col("x"))
+        + max(col("y")) - min(col("y"))).as("span"))
+      .agg(avg(col("span"))).head().getDouble(0)
+    val (h, z) = (avgSpan("h"), avgSpan("z"))
+    assert(h < z, s"hilbert avg span $h should beat z-order $z at width 1000")
+  }
 
   test("quantile sketch: exact quantile always inside the bucket bound") {
     q("q_agg_quantile_sketch").collect().foreach { r =>
