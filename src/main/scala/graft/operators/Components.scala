@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Pin a round's result at lineage depth 1. localCheckpoint stores
+    * blocks on executors — fast, but on a real cluster an executor loss
+    * mid-loop kills the query. When the session has a RELIABLE checkpoint
+    * dir configured (sparkContext.setCheckpointDir, typically HDFS/object
+    * storage), use checkpoint(eager=true) instead: rounds then survive
+    * executor loss, the right trade at 100 TB where a components loop can
+    * run for many rounds over hours. Local mode and the bench have no
+    * checkpoint dir set and keep the fast path. */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** @param pairs undirected edges as (a, b) long columns (any names,
     *              positional); returns (id, lbl) with lbl = component min. */
   def minLabel(pairs: DataFrame, verbose: Boolean = false): DataFrame = {
@@ -39,11 +52,10 @@ object Components {
       .persist()
     // Seed with min(self, neighbors) — the same shuffle a distinct-ids
     // init would cost, but it IS the first propagation round.
-    var labels = edges
+    var labels = pin(edges
       .groupBy(col("ea").as("id"))
       .agg(min(col("eb")).as("mnb"))
-      .select(col("id"), least(col("id"), col("mnb")).as("lbl"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("mnb")).as("lbl")))
     // coalesce: sum over an EMPTY label frame is NULL (a pair-free input
     // must yield an empty result, not an NPE).
     def sumOf(df: DataFrame): Long =
@@ -60,10 +72,9 @@ object Components {
         .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("x.lbl") === col("jid"))
         .select(col("x.id").as("id"), col("jlbl").as("lbl"))
-      val next = labels.select(col("id"), col("lbl"))
+      val next = pin(labels.select(col("id"), col("lbl"))
         .unionByName(prop).unionByName(jump)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       val nextSum = sumOf(next)
       if (verbose) println(s"DIAG round=$round lblSum=$nextSum")
       changed = nextSum != lblSum

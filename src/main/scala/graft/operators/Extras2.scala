@@ -122,8 +122,11 @@ object Extras2 {
     }),
 
     // Bounded cross join (cartesian of the two smallest dims, 25×5 rows).
+    // The region side carries an explicit broadcast: a cross join is only
+    // scale-sane when one side is a bounded dimension, and the hint makes
+    // that contract auditable (PlanAuditSpec's theta-join sweep).
     "q_join_cross" -> ((s, d) =>
-      Tables.nation(s, d).crossJoin(Tables.region(s, d))
+      Tables.nation(s, d).crossJoin(broadcast(Tables.region(s, d)))
         .select(col("n_nationkey"), col("n_name"), col("r_regionkey"),
           col("r_name"))
         .orderBy("n_nationkey", "r_regionkey")),

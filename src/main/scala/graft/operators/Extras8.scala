@@ -296,8 +296,10 @@ object Extras8 {
         .join(e.as("e3"),
           col("e2.b") === col("e3.b") && col("e1.a") === col("e3.a"))
         .agg(count(lit(1)).as("n_triangles"))
+      // both sides are single-row aggregates; broadcast makes the bounded
+      // contract explicit for the plan-audit theta-join sweep
       e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(tri)
+        .crossJoin(broadcast(tri))
     }),
 
     // Scalar CSV codec round-trip (the from_json/to_json sibling for

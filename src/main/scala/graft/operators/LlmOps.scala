@@ -146,7 +146,11 @@ object LlmOps {
     "q_llm_dedup_near" -> ((s, d) =>
       nearDupPairs(s, d).orderBy("doc_a", "doc_b")),
 
-    // Embedding-cosine near-dup pairs (exact baseline of the LSH path).
+    // Embedding-cosine near-dup pairs — VALIDATION BASELINE ONLY:
+    // deliberately O(n²) (unbounded theta self-join) to ground-truth the
+    // bucketed q_llm_dedup_embed_lsh, which is the 100 TB path.
+    // PlanAuditSpec pins this key (with q_llm_simhash_pairs) as one of
+    // exactly two declared queries allowed to carry that shape.
     "q_llm_dedup_embed" -> ((s, d) => {
       val a = Tables.embeddings(s, d)
         .select(col("vec_id").as("va"), quant(col("embedding")).as("ea"))

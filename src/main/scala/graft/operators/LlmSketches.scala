@@ -174,8 +174,11 @@ object LlmSketches {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash near-pairs within Hamming radius 10 (exact all-pairs
-    // baseline of the banded path above).
+    // SimHash near-pairs within Hamming radius 10 — VALIDATION BASELINE
+    // ONLY: deliberately O(n²) (unbounded theta self-join) to ground-truth
+    // the banded q_llm_simhash_lsh, which is the 100 TB path. PlanAuditSpec
+    // pins this key (with q_llm_dedup_embed) as one of exactly two declared
+    // queries allowed to carry that shape.
     "q_llm_simhash_pairs" -> ((s, d) => {
       val sig = queries("q_llm_simhash")(s, d)
       val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))

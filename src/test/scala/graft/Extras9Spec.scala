@@ -56,6 +56,36 @@ class Extras9Spec extends QuerySuiteBase {
     assert(h < z, s"hilbert avg span $h should beat z-order $z at width 1000")
   }
 
+  test("components kernel: reliable-checkpoint mode labels = local mode") {
+    import spark.implicits._
+    // A path (chain), a triangle with a tail, and two singleton-free
+    // islands — pointer jumping must collapse the long chain in O(log n).
+    val edges = (
+      (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++ // chain 1..40
+        Seq((100L, 101L), (101L, 102L), (102L, 100L), (102L, 103L),
+          (200L, 201L))).toDF("a", "b")
+    val local = operators.Components.minLabel(edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-chk")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val reliable = operators.Components.minLabel(edges)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(reliable == local,
+        "reliable checkpoint() mode diverged from localCheckpoint mode")
+      assert(local.filter(_._1 <= 40L).forall(_._2 == 1L))
+      assert(local.filter(t => t._1 >= 100L && t._1 <= 103L)
+        .forall(_._2 == 100L))
+      // reliable mode must actually have written checkpoint data
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpoint dir empty — reliable mode never engaged")
+    } finally {
+      // unset so later suites in this JVM keep the localCheckpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("quantile sketch: exact quantile always inside the bucket bound") {
     q("q_agg_quantile_sketch").collect().foreach { r =>
       val (exact, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))

@@ -150,6 +150,49 @@ class PlanAuditSpec extends QuerySuiteBase {
     }
   }
 
+  test("only the two documented validation baselines are unbounded theta self-joins") {
+    // Sweep EVERY declared batch key's optimized plan for the one shape
+    // that cannot survive a 100× scale-up: an inner/cross join with no
+    // equi-predicate and no broadcast-bounded side — O(n·m) candidate
+    // pairs with both sides data-proportional. Exactly two keys ship that
+    // shape ON PURPOSE (the exact all-pairs validation baselines whose
+    // scale paths are q_llm_dedup_embed_lsh / q_llm_simhash_lsh); this
+    // test pins the set so a third can never creep in unnoticed, and
+    // proves the detector actually detects (the baselines must flag).
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val baselines = Set("q_llm_dedup_embed", "q_llm_simhash_pairs")
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conj(a) ++ conj(b)
+      case other => Seq(other)
+    }
+    val flagged = SparkEntry.queries.keys.toSeq.sorted
+      // streaming keys run micro-batch machinery at build time and cannot
+      // host a static theta self-join; skip to keep the sweep fast
+      .filterNot(_.startsWith("q_stream"))
+      .filter { name =>
+        q(name).queryExecution.optimizedPlan.collectFirst {
+          case j @ Join(l, r, t, cond, hint)
+              if (t == Inner || t == Cross)
+                && !cond.toSeq.flatMap(conj).exists {
+                  case EqualTo(a, b) =>
+                    (a.references.subsetOf(l.outputSet)
+                      && b.references.subsetOf(r.outputSet)) ||
+                    (a.references.subsetOf(r.outputSet)
+                      && b.references.subsetOf(l.outputSet))
+                  case _ => false
+                }
+                && !Seq(hint.leftHint, hint.rightHint)
+                  .flatten.flatMap(_.strategy).exists(_.toString == "broadcast")
+            => j
+        }.isDefined
+      }.toSet
+    assert(flagged == baselines,
+      s"unbounded theta-join set drifted: found $flagged, " +
+        s"documented baselines are $baselines")
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
     // The scan-level analog of the reference store's per-block min/max
     // metadata: with aggregatePushdown on, an ungrouped MIN/MAX/COUNT
