@@ -56,11 +56,17 @@ object ScaleProbe {
     // semantics) — promote the lone part file to that name.
     locally {
       val dir = new java.io.File(s"$out/events_dir")
-      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(
+          s"ScaleProbe: no .parquet part under $dir — coalesced write failed"))
       val dst = new java.io.File(s"$out/events.parquet")
-      // a stale run may have left a DIRECTORY at this name
-      if (dst.isDirectory) { dst.listFiles().foreach(_.delete()); () }
-      dst.delete()
+      // a stale run may have left a DIRECTORY at this name (possibly with
+      // subdirectories — delete bottom-up so the move cannot throw)
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+        f.delete(); ()
+      }
+      rmr(dst)
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dir.listFiles().foreach(_.delete()); dir.delete()
     }

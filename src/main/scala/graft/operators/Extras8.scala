@@ -137,13 +137,15 @@ object Extras8 {
         .orderBy("probe_user")
     }),
 
-    // Bloom filter with a FULL oracle: 1 024 bits as 16 bit_or-aggregated
-    // longs (merge-order-free), k=3 portable hash positions per key.
-    // Membership = all three bits set; present keys can never miss (the
-    // spec asserts zero false negatives), absent probes may collide —
-    // deterministically, since the hashes are. The 16-word filter is the
-    // broadcastable artifact; at scale it pre-filters a join's probe side
-    // (the hand-rolled spelling of Spark's runtime bloom pushdown).
+    // Bloom filter with a FULL oracle: 1 024 bit positions packed into 17
+    // bit_or-aggregated longs of 63 bits each (p div 63 → words 0..16;
+    // 63-bit words because DuckDB refuses 1<<63), k=3 portable hash
+    // positions per key, merge-order-free. Membership = all three bits
+    // set; present keys can never miss (the spec asserts zero false
+    // negatives), absent probes may collide — deterministically, since
+    // the hashes are. The 17-word filter is the broadcastable artifact;
+    // at scale it pre-filters a join's probe side (the hand-rolled
+    // spelling of Spark's runtime bloom pushdown).
     "q_agg_bloom" -> ((s, d) => {
       def pos(key: org.apache.spark.sql.Column) = pmod(
         md5long(concat(col("k").cast("string"), lit("#"), key.cast("string"))),
@@ -495,8 +497,11 @@ object Extras8 {
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
                 substr(text, 1, 40) AS head40
          FROM documents ORDER BY doc_id""",
+    // octet_length(encode(...)): the binaryFile source reports file BYTES
+    // of the UTF-8 payload, so the oracle must count bytes, not characters
+    // (length(text) only agreed while the fixture text was pure ASCII).
     "q_source_binary" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
                 sha256(text) AS sha
          FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
     "q_agg_countmin" ->

@@ -210,10 +210,9 @@ object LlmOps {
     // canonicalization a real dedup needs (A~B, B~C ⇒ one cluster even
     // when A~C was never scored). The propagation kernel lives in
     // Components.minLabel (shared with the embedding-graph semantic
-    // dedup); rounds use persist()/unpersist() — CacheManager-registered,
-    // so superseded blocks really are freed (Dataset.unpersist is a
-    // NO-OP on localCheckpoint'd plans, verified against the Spark 4.1.2
-    // cache path).
+    // dedup); see Components.scala's doc for the round-pinning strategy
+    // (localCheckpoint per round, or reliable checkpoint() when the
+    // session has a checkpoint dir — and why persist-chaining was a trap).
     "q_llm_dedup_clusters" -> ((s, d) => {
       Components.minLabel(nearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
