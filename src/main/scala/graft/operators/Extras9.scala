@@ -118,12 +118,28 @@ object Extras9 {
         q.awaitTermination()
       }
       graft.streaming.StreamOps.withCappedState(s) {
-        stage(split.resolve("a.parquet"), in)
-        runOnce(nextSink("resume_run1"))
-        stage(split.resolve("b.parquet"), in)
+        val sink1 = nextSink("resume_run1")
         val sink2 = nextSink("resume_run2")
-        runOnce(sink2)
-        s.table(sink2).orderBy("event_type")
+        try {
+          stage(split.resolve("a.parquet"), in)
+          runOnce(sink1)
+          stage(split.resolve("b.parquet"), in)
+          runOnce(sink2)
+          // Materialize the per-event_type aggregate (bounded: one row per
+          // type) so the memory-sink views and the per-invocation staging
+          // dir can be dropped before returning — repeated verify/bench
+          // cycles in one JVM otherwise accumulate catalog entries and
+          // /tmp/graft_resume* dirs without bound.
+          val out = s.table(sink2).orderBy("event_type")
+          val rows = java.util.Arrays.asList(out.collect(): _*)
+          s.createDataFrame(rows, out.schema)
+        } finally {
+          s.catalog.dropTempView(sink1)
+          s.catalog.dropTempView(sink2)
+          import scala.jdk.CollectionConverters._
+          Files.walk(staging).iterator().asScala.toSeq.reverse
+            .foreach(p => { val _ = Files.deleteIfExists(p) })
+        }
       }
     }),
 

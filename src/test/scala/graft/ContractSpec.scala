@@ -19,21 +19,17 @@ class ContractSpec extends QuerySuiteBase {
 
   test("declared keys are unique across operator families") {
     // SparkEntry merges family maps with ++ — a duplicated key would
-    // silently shadow one family's query with another's.
-    val families = Seq(
-      operators.Scans.queries, operators.Aggregates.queries,
-      operators.Joins.queries, operators.Windows.queries,
-      operators.SetOps.queries, operators.ScalarFns.queries,
-      operators.EventOps.queries, operators.LlmOps.queries,
-      operators.LlmSketches.queries, operators.Misc.queries,
-      operators.Multimodal.queries, operators.Extras.queries,
-      operators.Extras2.queries, operators.Extras3.queries,
-      operators.Extras4.queries, operators.Extras5.queries,
-      operators.Extras6.queries, operators.Extras7.queries,
-      operators.Extras8.queries)
-    val all = families.flatMap(_.keys)
+    // silently shadow one family's query with another's. Iterate
+    // SparkEntry.families itself (the single source of truth) so a newly
+    // registered family can never be missing from this check.
+    val all = SparkEntry.families.flatMap(_._1.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query keys across families: $dupes")
     assert(all.size == SparkEntry.queries.size)
+
+    val allOracle = SparkEntry.families.flatMap(_._2.keys)
+    val oracleDupes = allOracle.groupBy(identity).filter(_._2.size > 1).keys
+    assert(oracleDupes.isEmpty, s"duplicate oracle keys: $oracleDupes")
+    assert(allOracle.size == SparkEntry.oracleSql.size)
   }
 }
