@@ -37,7 +37,8 @@ object SparkEntry {
     (Extras7.queries, Extras7.oracle),
     (Extras8.queries, Extras8.oracle),
     (Extras9.queries, Extras9.oracle),
-    (Extras10.queries, Extras10.oracle)
+    (Extras10.queries, Extras10.oracle),
+    (Extras11.queries, Extras11.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
