@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,8 +82,8 @@ object Extras13 {
       def hav(lat1: Column, lon1: Column, lat2: Column, lon2: Column) = {
         val rl1 = radians(lat1); val rl2 = radians(lat2)
         val dphi = radians(lat2 - lat1); val dlam = radians(lon2 - lon1)
-        val h = sin(dphi / 2) * sin(dphi / 2)
-          + cos(rl1) * cos(rl2) * sin(dlam / 2) * sin(dlam / 2)
+        val h = sin(dphi / 2) * sin(dphi / 2) +
+          cos(rl1) * cos(rl2) * sin(dlam / 2) * sin(dlam / 2)
         round(lit(2 * 6371.0) * asin(sqrt(h)), 4)
       }
       val k = col("c_custkey")
@@ -176,7 +176,8 @@ object Extras13 {
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
               FROM orders GROUP BY 1),
-            dw AS (SELECT (dt - DATE '1970-01-01') % 7 AS dow, v FROM daily),
+            dw AS (SELECT CAST((dt - DATE '1970-01-01') % 7 AS INT) AS dow,
+                          v FROM daily),
             per AS (SELECT dow, COUNT(*) AS n_days,
                       CAST(SUM(v) AS DOUBLE) AS sv FROM dw GROUP BY 1),
             tot AS (SELECT COUNT(*) AS tn, CAST(SUM(v) AS DOUBLE) AS tv
