@@ -40,7 +40,8 @@ object SparkEntry {
     (Extras10.queries, Extras10.oracle),
     (Extras11.queries, Extras11.oracle),
     (Extras12.queries, Extras12.oracle),
-    (Extras13.queries, Extras13.oracle)
+    (Extras13.queries, Extras13.oracle),
+    (Extras14.queries, Extras14.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
