@@ -41,7 +41,12 @@ object PlanDump {
     "q_win_groups_frame" -> "GROUPS frame emulation: dense_rank pre-pass + RANGE frame share ONE Exchange+Sort (two Window ops, one partitioning)",
     "q_ts_zscore" -> "rolling z-score: bounded ROWS frame — one user_id shuffle, O(1) state per row, the streaming-friendly shape",
     "q_llm_winnow" -> "winnowing fingerprints: per-row gram expansion (no shuffle) → one doc_id window pass → per-doc agg",
-    "q_layout_zorder" -> "Z-order clustering: four mask-shift rounds per dimension, pure codegen'd integer ops, stats agg is the only shuffle"
+    "q_layout_zorder" -> "Z-order clustering: four mask-shift rounds per dimension, pure codegen'd integer ops, stats agg is the only shuffle",
+    "q_join_spatial_grid" -> "spatial within-distance join: 3×3 neighbor-cell explode on the probe side, ONE hash equi-join on the cell key — no CartesianProduct, candidates density-bounded",
+    "q_merge_upsert" -> "MERGE/upsert: one full-outer sort-merge join on the merge key, action derived per row — no second pass over either side",
+    "q_llm_colloc_pmi" -> "PMI collocations: zip_with bigrams (no shuffle) → one pair agg; vocabulary-sized marginal relations broadcast",
+    "q_ts_interp" -> "calendar gap-fill: sequence/explode densify + forward-fill window; the daily agg is the only data-sized shuffle",
+    "q_evt_attribution" -> "last-touch attribution: unbounded-to-previous last(ignoreNulls) frame — one user_id shuffle, no self-join or as-of pass"
   )
 
   def main(args: Array[String]): Unit = {

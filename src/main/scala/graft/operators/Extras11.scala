@@ -306,8 +306,13 @@ object Extras11 {
          ORDER BY user_id, session_seq""",
     "q_ts_acf" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                -- DECIMAL(19,2), NOT (18,2): precision 19 forces DuckDB's
+                -- int128 decimal path; at precision <= 18 its int64
+                -- multiply fast path overflows on the sf0.1 cross-moments
+                -- (observed). Spark keeps (18,2) - both sides stay EXACT,
+                -- so the final double casts still agree.
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     AS DECIMAL(18,2)) AS v
+                     AS DECIMAL(19,2)) AS v
               FROM orders GROUP BY 1),
             lagged AS (SELECT l.lag, v,
                 lag(v, l.lag) OVER (PARTITION BY l.lag ORDER BY dt) AS vl
