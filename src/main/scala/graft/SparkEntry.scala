@@ -41,7 +41,8 @@ object SparkEntry {
     (Extras11.queries, Extras11.oracle),
     (Extras12.queries, Extras12.oracle),
     (Extras13.queries, Extras13.oracle),
-    (Extras14.queries, Extras14.oracle)
+    (Extras14.queries, Extras14.oracle),
+    (Extras15.queries, Extras15.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

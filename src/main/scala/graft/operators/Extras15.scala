@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Tables}
+
+/** Round-7 additions, part 5: sequence mining (top event paths), rolling
+  * regression slope, and IQR outlier detection — the remaining everyday
+  * analytics shapes the surface lacked.
+  */
+object Extras15 {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EVENT PATH MINING — counts of each length-3 event-type path per
+    // user stream (the sequence-mining view funnels are built from).
+    // Two lead() taps over ONE (user_id) exchange (same-spec windows
+    // share the sort), then a bounded 5³ aggregate. The (ts, event_id)
+    // tiebreak keeps paths a total order in both engines.
+    "q_evt_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("t1"),
+          col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("t1", "t2", "t3")
+    }),
+
+    // ROLLING REGRESSION SLOPE — 30-day rolling trend of the daily
+    // revenue series: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x the
+    // day index and y exact-decimal revenue. Every windowed sum is
+    // EXACT (integer x, decimal y, decimal x·y); the slope is one
+    // shared IEEE tail formula, round 6. Calendar-bounded
+    // single-partition window (the q_ts_acf argument); emitted only for
+    // full 30-row frames so no partial-window edge semantics are in
+    // play.
+    "q_win_slope" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(dec(col("o_totalprice"))).cast(Det.D2).as("y"))
+      val seq = daily.select(col("dt"), col("y"),
+        row_number().over(Window.orderBy("dt")).cast("long").as("x"))
+      val w = Window.orderBy("dt").rowsBetween(-29, 0)
+      seq.select(col("dt"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).cast("double").as("sx"),
+          sum(col("y")).over(w).cast("double").as("sy"),
+          sum(col("x") * col("y")).over(w).cast("double").as("sxy"),
+          sum(col("x") * col("x")).over(w).cast("double").as("sxx"))
+        .where(col("n") === 30)
+        .select(col("dt"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope30"))
+        .orderBy("dt")
+    }),
+
+    // IQR OUTLIER DETECTION — Tukey fences per group: quartiles via the
+    // interpolated percentile both engines define identically
+    // (q_agg_percentile precedent; quartiles of integer-valued
+    // quantities are 0.25-grained ⇒ binary-exact), bounds q1−1.5·IQR /
+    // q3+1.5·IQR (exact binary arithmetic), outliers counted per
+    // return flag. Quartile relation is group-sized and broadcast back
+    // onto the scan — two passes, both shuffling only on the group key.
+    "q_ts_outlier_iqr" -> ((s, d) => {
+      val q = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.75)").as("q3"))
+        .select(col("l_returnflag"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      Tables.lineitem(s, d).join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("lo")
+            || col("l_quantity") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_evt_paths" ->
+      """WITH x AS (SELECT user_id, event_type AS t1,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts::TIMESTAMP, event_id) AS t2,
+                lead(event_type, 2) OVER (PARTITION BY user_id
+                  ORDER BY ts::TIMESTAMP, event_id) AS t3
+              FROM events)
+         SELECT t1, t2, t3, COUNT(*) AS n,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM x WHERE t3 IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_win_slope" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                -- (19,2) forces DuckDB's int128 decimal path (the
+                -- q_ts_acf lesson): int64 multiply overflows at sf0.1
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(19,2)) AS y
+              FROM orders GROUP BY 1),
+            seq AS (SELECT dt, y,
+                CAST(row_number() OVER (ORDER BY dt) AS BIGINT) AS x
+              FROM daily),
+            s AS (SELECT dt,
+                COUNT(*) OVER w AS n,
+                CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+                CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+              FROM seq
+              WINDOW w AS (ORDER BY dt
+                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT dt, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                  AS slope30
+         FROM s WHERE n = 30 ORDER BY dt""",
+    "q_ts_outlier_iqr" ->
+      """WITH q AS (SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS q1,
+                quantile_cont(l_quantity, 0.75) AS q3
+              FROM lineitem GROUP BY 1),
+            b AS (SELECT l_returnflag,
+                q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+              FROM q)
+         SELECT l.l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN l.l_quantity < b.lo
+                              OR l.l_quantity > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                MIN(b.lo) AS lo, MIN(b.hi) AS hi
+         FROM lineitem l JOIN b USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1"""
+  )
+}

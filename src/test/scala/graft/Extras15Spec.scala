@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Extras15Spec extends QuerySuiteBase {
+  Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr")
+    .foreach(checkDeclared(_))
+
+  test("paths: trigram mass equals events minus 2 per multi-event user") {
+    val total = q("q_evt_paths").agg(sum("n")).head().getLong(0)
+    val expect = Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 2, lit(0L)))).head().getLong(0)
+    assert(total == expect, s"trigram mass $total != $expect")
+  }
+
+  test("slope30: full frames only, never null, count = days - 29") {
+    val r = q("q_win_slope").orderBy("dt").collect()
+    val days = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(r.length == days - 29, s"${r.length} slopes over $days days")
+    assert(r.forall(x => !x.isNullAt(1)))
+  }
+
+  test("iqr: outlier counts match a recomputed fence per flag") {
+    val li = Tables.lineitem(spark, sf)
+    q("q_ts_outlier_iqr").collect().foreach { row =>
+      val flag = row.getString(0)
+      val lo = row.getDouble(3); val hi = row.getDouble(4)
+      val n = li.where(col("l_returnflag") === flag
+        && (col("l_quantity") < lo || col("l_quantity") > hi)).count()
+      assert(n == row.getLong(2),
+        s"flag $flag: recount $n != ${row.getLong(2)}")
+      val all = li.where(col("l_returnflag") === flag).count()
+      assert(all == row.getLong(1))
+    }
+  }
+}
