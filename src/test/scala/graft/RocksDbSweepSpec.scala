@@ -14,11 +14,13 @@ import graft.streaming.StreamOps
   */
 class RocksDbSweepSpec extends QuerySuiteBase {
 
-  private val sweepKeys = Seq(
-    "q_stream_live_tumbling", "q_stream_live_sliding",
-    "q_stream_live_session", "q_stream_live_join",
-    "q_stream_live_ssjoin", "q_stream_live_dedup",
-    "q_stream_live_stateful", "q_stream_live_resume")
+  // Derived from SparkEntry (the ContractSpec lesson: a static copy of a
+  // key family drifts) — every declared live key sweeps both providers
+  // automatically; only the RocksDB-required transformWithState key is
+  // carved out.
+  private val sweepKeys = SparkEntry.queries.keys.toSeq.sorted
+    .filter(_.startsWith("q_stream_live_"))
+    .filterNot(_ == "q_stream_live_tws")
 
   test("live runners pin the RocksDB provider for the run, then restore") {
     val key = "spark.sql.streaming.stateStore.providerClass"
