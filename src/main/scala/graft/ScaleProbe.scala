@@ -152,7 +152,24 @@ object ScaleProbe {
       "q_graph_pagerank" -> (d => SparkEntry.queries("q_graph_pagerank")(spark, d).count()),
       "q_join_dpp" -> (d => SparkEntry.queries("q_join_dpp")(spark, d).count()),
       "q_join_dpp#warm" -> (d => SparkEntry.queries("q_join_dpp")(spark, d).count()),
-      "q_join_bucketed#warm" -> (d => SparkEntry.queries("q_join_bucketed")(spark, d).count())
+      "q_join_bucketed#warm" -> (d => SparkEntry.queries("q_join_bucketed")(spark, d).count()),
+      // Round-7.2 probes: MERGE (one full-outer join over the remapped
+      // order keys), the graph kernels (node count grows with the
+      // replicated user space), PMI (vocabulary grows 8× via the suffix),
+      // and the two windowed sequence shapes (islands/sessions per
+      // replicated user). q_join_spatial_grid is deliberately NOT probed:
+      // the fixture replicates customers into the SAME 1000×1000 grid, so
+      // point density — and the true answer — grows quadratically; the
+      // probe would measure output explosion, not plan decay (the
+      // density-bounded claim is the spec-proven grid/theta equivalence).
+      "q_merge_upsert" -> (d => SparkEntry.queries("q_merge_upsert")(spark, d).count()),
+      "q_graph_components" -> (d => SparkEntry.queries("q_graph_components")(spark, d).count()),
+      "q_graph_bfs" -> (d => SparkEntry.queries("q_graph_bfs")(spark, d).count()),
+      "q_llm_colloc_pmi" -> (d => SparkEntry.queries("q_llm_colloc_pmi")(spark, d).count()),
+      "q_scd2" -> (d => SparkEntry.queries("q_scd2")(spark, d).count()),
+      "q_ts_sessionize" -> (d => SparkEntry.queries("q_ts_sessionize")(spark, d).count()),
+      "q_evt_retention" -> (d => SparkEntry.queries("q_evt_retention")(spark, d).count()),
+      "q_stream_live_cdc" -> (d => SparkEntry.queries("q_stream_live_cdc")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
