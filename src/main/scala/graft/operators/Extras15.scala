@@ -64,6 +64,30 @@ object Extras15 {
         .orderBy("dt")
     }),
 
+    // ROLLING MEDIAN — 25-day windowed median of the daily revenue
+    // series. Spark has NO percentile-over-window executor, so this is
+    // the composition path (SURVEY §7.3 preference (a)): collect_list
+    // over the ROWS frame → array_sort → middle element — exact because
+    // the values are 2-dp decimals and 25 is odd (no interpolation).
+    // Checked against DuckDB's NATIVE windowed median() executor — two
+    // different implementations, one hash (the q_win_exclude/q_agg_mad
+    // pattern). Full frames only; the 25-element sort per row is O(k
+    // log k) on a calendar-bounded series — constant work at any data
+    // volume.
+    "q_win_median_rolling" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(dec(col("o_totalprice"))).cast(Det.D2).as("v"))
+      val w = Window.orderBy("dt").rowsBetween(-24, 0)
+      daily.select(col("dt"),
+          count(lit(1)).over(w).as("n"),
+          element_at(array_sort(collect_list(col("v")).over(w)), 13)
+            .as("med"))
+        .where(col("n") === 25)
+        .select(col("dt"), col("med").cast("double").as("med25"))
+        .orderBy("dt")
+    }),
+
     // IQR OUTLIER DETECTION — Tukey fences per group: quartiles via the
     // interpolated percentile both engines define identically
     // (q_agg_percentile precedent; quartiles of integer-valued
@@ -124,6 +148,19 @@ object Extras15 {
          SELECT dt, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
                   AS slope30
          FROM s WHERE n = 30 ORDER BY dt""",
+    "q_win_median_rolling" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS v
+              FROM orders GROUP BY 1),
+            m AS (SELECT dt,
+                COUNT(*) OVER w AS n,
+                median(v) OVER w AS med
+              FROM daily
+              WINDOW w AS (ORDER BY dt
+                ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+         SELECT dt, CAST(med AS DOUBLE) AS med25
+         FROM m WHERE n = 25 ORDER BY dt""",
     "q_ts_outlier_iqr" ->
       """WITH q AS (SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.25) AS q1,

@@ -3,8 +3,22 @@ package graft
 import org.apache.spark.sql.functions._
 
 class Extras15Spec extends QuerySuiteBase {
-  Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr")
-    .foreach(checkDeclared(_))
+  Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr",
+    "q_win_median_rolling").foreach(checkDeclared(_))
+
+  test("rolling median is a member of its window and bounded by it") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(Det.dec(col("o_totalprice"))).cast("double").as("v"))
+      .orderBy("dt").collect().map(r => r.getDouble(1))
+    val med = q("q_win_median_rolling").orderBy("dt").collect()
+    assert(med.length == daily.length - 24)
+    med.zipWithIndex.foreach { case (row, i) =>
+      val window = daily.slice(i, i + 25).sorted
+      assert(row.getDouble(1) == window(12),
+        s"row $i: median ${row.getDouble(1)} != sorted middle ${window(12)}")
+    }
+  }
 
   test("paths: trigram mass equals events minus 2 per multi-event user") {
     val total = q("q_evt_paths").agg(sum("n")).head().getLong(0)
