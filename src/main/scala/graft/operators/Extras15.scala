@@ -7,11 +7,30 @@ import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 
 /** Round-7 additions, part 5: sequence mining (top event paths), rolling
-  * regression slope, and IQR outlier detection — the remaining everyday
-  * analytics shapes the surface lacked.
+  * regression slope, IQR outlier detection, rolling median, and BPE
+  * merge learning — the remaining everyday analytics shapes plus the
+  * tokenizer-training kernel the LLM-pipeline mandate sketches.
   */
 object Extras15 {
   import Det._
+
+  /** One BPE round as DuckDB CTEs: weighted bigram counts over the
+    * space-joined symbol sequences, deterministic top pair
+    * (n DESC, p1, p2), non-overlapping left-to-right merge. */
+  private def bpeStepsSql(n: Int): String =
+    (1 to n).map { i =>
+      val prev = s"s${i - 1}"
+      s"""b$i AS (SELECT ws[i] AS p1, ws[i + 1] AS p2, wc
+             FROM (SELECT string_split(trim(seq), ' ') AS ws, wc
+                   FROM $prev),
+                  unnest(generate_series(1, len(ws) - 1)) t(i)),
+         c$i AS (SELECT p1, p2, CAST(SUM(wc) AS BIGINT) AS n_pairs
+                 FROM b$i GROUP BY 1, 2),
+         t$i AS (SELECT * FROM c$i ORDER BY n_pairs DESC, p1, p2 LIMIT 1),
+         s$i AS (SELECT replace(seq, ' ' || p1 || ' ' || p2 || ' ',
+                                ' ' || p1 || p2 || ' ') AS seq, wc
+                 FROM $prev CROSS JOIN t$i)"""
+    }.mkString(",\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -88,6 +107,51 @@ object Extras15 {
         .orderBy("dt")
     }),
 
+    // BPE MERGE LEARNING — the first 3 merge rules of byte-pair encoding
+    // over the corpus vocabulary: characters as initial symbols, each
+    // round picks the highest-frequency adjacent pair (ties pinned
+    // n DESC, p1, p2) and merges every NON-OVERLAPPING left-to-right
+    // occurrence (both engines' literal replace() shares that exact
+    // scan rule — asserted equal by the oracle hash). The corpus
+    // collapses to the VOCABULARY first (one row per distinct word +
+    // count), so each round's pair count and merge run over ~|vocab|
+    // rows no matter the data volume — the reason real BPE trainers are
+    // feasible at 100 TB. Per round: one bounded aggregate, one 1-row
+    // driver read (the Components convergence-scalar pattern), one
+    // projection; sequences re-checkpoint each round so lineage stays
+    // constant.
+    "q_llm_bpe_merges" -> ((s, d) => {
+      var seqs = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(concat(lit(" "),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("seq"),
+          col("wc"))
+        .localCheckpoint()
+      val steps = (1 to 3).map { step =>
+        val top = seqs
+          .select(split(trim(col("seq")), " ").as("t"), col("wc"))
+          .select(explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (x, y) -> struct(x AS p1, y AS p2))""")).as("b"), col("wc"))
+          .groupBy(col("b.p1").as("p1"), col("b.p2").as("p2"))
+          .agg(sum(col("wc")).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("p1"), col("p2"))
+          .limit(1).head()
+        val (p1, p2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        // symbols are alphanumeric by fixture construction; guard the
+        // literal injection into the replace() expression anyway
+        require((p1 + p2).forall(_.isLetterOrDigit),
+          s"non-alphanumeric BPE symbol: '$p1' '$p2'")
+        seqs = seqs.select(
+          expr(s"replace(seq, ' $p1 $p2 ', ' $p1$p2 ')").as("seq"),
+          col("wc")).localCheckpoint()
+        (step, p1, p2, n)
+      }
+      import s.implicits._
+      steps.toDF("step", "p1", "p2", "n_pairs").orderBy("step")
+    }),
+
     // IQR OUTLIER DETECTION — Tukey fences per group: quartiles via the
     // interpolated percentile both engines define identically
     // (q_agg_percentile precedent; quartiles of integer-valued
@@ -148,6 +212,18 @@ object Extras15 {
          SELECT dt, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
                   AS slope30
          FROM s WHERE n = 30 ORDER BY dt""",
+    "q_llm_bpe_merges" ->
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS wc
+               FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents) GROUP BY 1),
+            s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                     || ' ' AS seq, wc FROM w0),
+            ${bpeStepsSql(3)}
+         SELECT step, p1, p2, n_pairs FROM (
+           SELECT 1 AS step, p1, p2, n_pairs FROM t1
+           UNION ALL SELECT 2, p1, p2, n_pairs FROM t2
+           UNION ALL SELECT 3, p1, p2, n_pairs FROM t3)
+         ORDER BY step""",
     "q_win_median_rolling" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

