@@ -14,6 +14,44 @@ import graft.{Det, Tables}
 object Extras15 {
   import Det._
 
+  /** The shared BPE learn loop: vocabulary-collapsed (w, seq, wc) symbol
+    * sequences, 3 greedy merge rounds (top pair pinned n DESC, p1, p2;
+    * non-overlapping left-to-right replace — the scan rule both engines'
+    * literal replace() implements). Returns the merge-rule table and the
+    * final vocabulary frame. One bounded 1-row driver read per round
+    * (the Components convergence-scalar pattern). */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seqs = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("w"), concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("seq"),
+        col("wc"))
+      .localCheckpoint()
+    val steps = (1 to 3).map { step =>
+      val top = seqs
+        .select(split(trim(col("seq")), " ").as("t"), col("wc"))
+        .select(explode(expr(
+          """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+             (x, y) -> struct(x AS p1, y AS p2))""")).as("b"), col("wc"))
+        .groupBy(col("b.p1").as("p1"), col("b.p2").as("p2"))
+        .agg(sum(col("wc")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("p1"), col("p2"))
+        .limit(1).head()
+      val (p1, p2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      // symbols are alphanumeric by fixture construction; guard the
+      // literal injection into the replace() expression anyway
+      require((p1 + p2).forall(_.isLetterOrDigit),
+        s"non-alphanumeric BPE symbol: '$p1' '$p2'")
+      seqs = seqs.select(col("w"),
+        expr(s"replace(seq, ' $p1 $p2 ', ' $p1$p2 ')").as("seq"),
+        col("wc")).localCheckpoint()
+      (step, p1, p2, n)
+    }
+    (steps, seqs)
+  }
+
   /** One BPE round as DuckDB CTEs: weighted bigram counts over the
     * space-joined symbol sequences, deterministic top pair
     * (n DESC, p1, p2), non-overlapping left-to-right merge. */
@@ -27,8 +65,8 @@ object Extras15 {
          c$i AS (SELECT p1, p2, CAST(SUM(wc) AS BIGINT) AS n_pairs
                  FROM b$i GROUP BY 1, 2),
          t$i AS (SELECT * FROM c$i ORDER BY n_pairs DESC, p1, p2 LIMIT 1),
-         s$i AS (SELECT replace(seq, ' ' || p1 || ' ' || p2 || ' ',
-                                ' ' || p1 || p2 || ' ') AS seq, wc
+         s$i AS (SELECT w, replace(seq, ' ' || p1 || ' ' || p2 || ' ',
+                                   ' ' || p1 || p2 || ' ') AS seq, wc
                  FROM $prev CROSS JOIN t$i)"""
     }.mkString(",\n")
 
@@ -121,35 +159,29 @@ object Extras15 {
     // projection; sequences re-checkpoint each round so lineage stays
     // constant.
     "q_llm_bpe_merges" -> ((s, d) => {
-      var seqs = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-        .select(concat(lit(" "),
-          trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("seq"),
-          col("wc"))
-        .localCheckpoint()
-      val steps = (1 to 3).map { step =>
-        val top = seqs
-          .select(split(trim(col("seq")), " ").as("t"), col("wc"))
-          .select(explode(expr(
-            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-               (x, y) -> struct(x AS p1, y AS p2))""")).as("b"), col("wc"))
-          .groupBy(col("b.p1").as("p1"), col("b.p2").as("p2"))
-          .agg(sum(col("wc")).as("n_pairs"))
-          .orderBy(col("n_pairs").desc, col("p1"), col("p2"))
-          .limit(1).head()
-        val (p1, p2, n) = (top.getString(0), top.getString(1), top.getLong(2))
-        // symbols are alphanumeric by fixture construction; guard the
-        // literal injection into the replace() expression anyway
-        require((p1 + p2).forall(_.isLetterOrDigit),
-          s"non-alphanumeric BPE symbol: '$p1' '$p2'")
-        seqs = seqs.select(
-          expr(s"replace(seq, ' $p1 $p2 ', ' $p1$p2 ')").as("seq"),
-          col("wc")).localCheckpoint()
-        (step, p1, p2, n)
-      }
+      val steps = bpeLearn(s, d)._1
       import s.implicits._
       steps.toDF("step", "p1", "p2", "n_pairs").orderBy("step")
+    }),
+
+    // BPE APPLY — tokenize the corpus with the 3 learned merge rules:
+    // the vocabulary (one row per distinct word) carries its merged
+    // symbol sequence; documents re-explode to words and broadcast-join
+    // the tiny vocab, then one doc_id aggregate yields pre/post symbol
+    // counts — the tokens-per-doc accounting a training pipeline packs
+    // batches by. All integers, fully exact.
+    "q_llm_bpe_apply" -> ((s, d) => {
+      val vocab = bpeLearn(s, d)._2
+        .select(col("w"),
+          size(split(trim(col("seq")), " ")).cast("long").as("n_sym"),
+          length(col("w")).cast("long").as("n_chr"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(vocab), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_chr")).as("n_chars"),
+          sum(col("n_sym")).as("n_tokens_bpe"))
+        .orderBy("doc_id")
     }),
 
     // IQR OUTLIER DETECTION — Tukey fences per group: quartiles via the
@@ -216,7 +248,8 @@ object Extras15 {
       s"""WITH w0 AS (SELECT w, COUNT(*) AS wc
                FROM (SELECT unnest(string_split(text, ' ')) AS w
                      FROM documents) GROUP BY 1),
-            s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+            s0 AS (SELECT w,
+                     ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
                      || ' ' AS seq, wc FROM w0),
             ${bpeStepsSql(3)}
          SELECT step, p1, p2, n_pairs FROM (
@@ -224,6 +257,25 @@ object Extras15 {
            UNION ALL SELECT 2, p1, p2, n_pairs FROM t2
            UNION ALL SELECT 3, p1, p2, n_pairs FROM t3)
          ORDER BY step""",
+    "q_llm_bpe_apply" ->
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS wc
+               FROM (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents) GROUP BY 1),
+            s0 AS (SELECT w,
+                     ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                     || ' ' AS seq, wc FROM w0),
+            ${bpeStepsSql(3)},
+            vocab AS (SELECT w,
+                CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym,
+                CAST(length(w) AS BIGINT) AS n_chr
+              FROM s3),
+            dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words,
+                CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+                CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe
+         FROM dw JOIN vocab USING (w)
+         GROUP BY 1 ORDER BY doc_id""",
     "q_win_median_rolling" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -4,7 +4,19 @@ import org.apache.spark.sql.functions._
 
 class Extras15Spec extends QuerySuiteBase {
   Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr",
-    "q_win_median_rolling", "q_llm_bpe_merges").foreach(checkDeclared(_))
+    "q_win_median_rolling", "q_llm_bpe_merges", "q_llm_bpe_apply")
+    .foreach(checkDeclared(_))
+
+  test("bpe apply: tokens <= chars, merges strictly reduce somewhere") {
+    val r = q("q_llm_bpe_apply")
+    // every word's merged symbol count is between 1 and its char count,
+    // so per doc: n_words <= n_tokens_bpe <= n_chars
+    assert(r.where(col("n_tokens_bpe") > col("n_chars")
+      || col("n_tokens_bpe") < col("n_words")).count() == 0)
+    // three merges must have shortened at least one document
+    val shortened = r.where(col("n_tokens_bpe") < col("n_chars")).count()
+    assert(shortened > 0, "BPE merges had no effect on any document")
+  }
 
   test("bpe: merge counts non-increasing, pairs stay alphanumeric") {
     val r = q("q_llm_bpe_merges").orderBy("step").collect()
