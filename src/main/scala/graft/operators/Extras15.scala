@@ -70,7 +70,45 @@ object Extras15 {
                  FROM $prev CROSS JOIN t$i)"""
     }.mkString(",\n")
 
+  /** Session-lifetime parquet-sink staging dirs, one per fixture dir:
+    * the file sink's checkpoint makes re-runs no-ops (offsets already
+    * committed — the exactly-once property itself), so reusing the dir
+    * across invocations is both correct and the anti-accumulation fix
+    * the q_stream_live_resume cleanup taught. */
+  private val sinkDirs =
+    new scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ELEVENTH live streaming key — the PARQUET FILE SINK (every other
+    // live key uses the memory sink; a production pipeline lands on
+    // files): watermarked tumbling counts in APPEND mode, exactly-once
+    // via the sink checkpoint + _spark_metadata commit log. Append only
+    // emits windows FINALIZED by the watermark, so the trailing windows
+    // within 10 minutes of max(ts) are deliberately held back — the
+    // oracle states the same cutoff (w_end <= max_ts − 10 min).
+    // Re-invocations reuse the checkpoint: AvailableNow finds no new
+    // offsets, writes nothing, and the readback returns the committed
+    // result — idempotence as a graded property.
+    "q_stream_live_filesink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staging = sinkDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("graft_filesink"))
+      val out = staging.resolve("out").toString
+      val chk = staging.resolve("chk").toString
+      graft.streaming.StreamOps.withCappedState(s) {
+        val q = graft.streaming.StreamOps
+          .tumblingWithWatermark(
+            graft.streaming.StreamOps.eventsFileStream(s, d))
+          .select(tsUs(col("ws")).as("ws_us"), col("event_type"), col("n"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).orderBy("ws_us", "event_type")
+    }),
 
     // EVENT PATH MINING — counts of each length-3 event-type path per
     // user stream (the sequence-mining view funnels are built from).
@@ -244,6 +282,15 @@ object Extras15 {
          SELECT dt, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
                   AS slope30
          FROM s WHERE n = 30 ORDER BY dt""",
+    "q_stream_live_filesink" ->
+      """WITH b AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS ws,
+                event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (SELECT max(ts::TIMESTAMP) AS mx FROM events)
+         SELECT epoch_us(ws) AS ws_us, event_type, n
+         FROM b CROSS JOIN m
+         WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+         ORDER BY ws_us, event_type""",
     "q_llm_bpe_merges" ->
       s"""WITH w0 AS (SELECT w, COUNT(*) AS wc
                FROM (SELECT unnest(string_split(text, ' ')) AS w

@@ -4,8 +4,21 @@ import org.apache.spark.sql.functions._
 
 class Extras15Spec extends QuerySuiteBase {
   Seq("q_evt_paths", "q_win_slope", "q_ts_outlier_iqr",
-    "q_win_median_rolling", "q_llm_bpe_merges", "q_llm_bpe_apply")
-    .foreach(checkDeclared(_))
+    "q_win_median_rolling", "q_llm_bpe_merges", "q_llm_bpe_apply",
+    "q_stream_live_filesink").foreach(checkDeclared(_))
+
+  test("filesink: append holds back windows inside the watermark horizon") {
+    val r = q("q_stream_live_filesink")
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // every emitted window is finalized: end <= max_ts - 10 min
+    val late = r.where(col("ws_us") + 3600000000L > maxUs - 600000000L)
+      .count()
+    assert(late == 0, s"$late unfinalized windows emitted by the file sink")
+    // re-running against the same checkpoint is a no-op with the same
+    // result (exactly-once idempotence)
+    assert(fingerprint(r) == fingerprint(q("q_stream_live_filesink")))
+  }
 
   test("bpe apply: tokens <= chars, merges strictly reduce somewhere") {
     val r = q("q_llm_bpe_apply")
