@@ -24,7 +24,7 @@ object Extras11 {
   /** The co-occurrence graph q_graph_triangles/q_graph_pagerank defined
     * (same-hour, same-event-type user pairs over the user_id%7 slice) —
     * one definition so the four graph kernels are views of one graph. */
-  private def undirectedEdges(s: SparkSession, d: String): DataFrame = {
+  private[operators] def undirectedEdges(s: SparkSession, d: String): DataFrame = {
     val v = Tables.events(s, d)
       .where(pmod(col("user_id"), lit(7L)) === 0)
       .select(date_trunc("hour", col("ts")).as("h"),
@@ -37,7 +37,7 @@ object Extras11 {
       .distinct()
   }
 
-  private val GraphSql =
+  private[operators] val GraphSql =
     """v AS (SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS h,
                              event_type AS t, user_id AS u
              FROM events WHERE user_id % 7 = 0),
