@@ -58,7 +58,7 @@ object Extras9 {
     * event_id parity — the "already ingested" half and the "arrives after
     * the restart" half. Built once per testdata snapshot (FixtureCache);
     * the per-invocation staging below only hardlinks these files. */
-  private def eventsSplit(s: SparkSession, d: String): Path = {
+  private[operators] def eventsSplit(s: SparkSession, d: String): Path = {
     val dir = FixtureCache.ensure("events_split2", Seq(s"$d/events.parquet"),
       "split by event_id % 2, single file each, ts as µs v1") { dest =>
       val ev = Tables.events(s, d) // ns→µs conversion happens here, once
