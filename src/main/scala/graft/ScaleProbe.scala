@@ -169,7 +169,22 @@ object ScaleProbe {
       "q_scd2" -> (d => SparkEntry.queries("q_scd2")(spark, d).count()),
       "q_ts_sessionize" -> (d => SparkEntry.queries("q_ts_sessionize")(spark, d).count()),
       "q_evt_retention" -> (d => SparkEntry.queries("q_evt_retention")(spark, d).count()),
-      "q_stream_live_cdc" -> (d => SparkEntry.queries("q_stream_live_cdc")(spark, d).count())
+      "q_stream_live_cdc" -> (d => SparkEntry.queries("q_stream_live_cdc")(spark, d).count()),
+      // Round-7.3 probes (Extras16/17): the three-window risk/interval
+      // shapes and weighted median (per-user/per-flag windows over the
+      // replicated key space), the common-neighbor Jaccard + k-core
+      // peel (graph grows with the user space), the 136-pair covariance
+      // self-join and per-dim quantization (embedding-count-linear with
+      // CONSTANT 16/64-dim output), and the foreachBatch merge sink
+      // (per-batch full-outer merge over the replicated users).
+      "q_ts_drawdown" -> (d => SparkEntry.queries("q_ts_drawdown")(spark, d).count()),
+      "q_ts_interval_merge" -> (d => SparkEntry.queries("q_ts_interval_merge")(spark, d).count()),
+      "q_agg_weighted_median" -> (d => SparkEntry.queries("q_agg_weighted_median")(spark, d).count()),
+      "q_graph_jaccard" -> (d => SparkEntry.queries("q_graph_jaccard")(spark, d).count()),
+      "q_graph_kcore" -> (d => SparkEntry.queries("q_graph_kcore")(spark, d).count()),
+      "q_llm_embed_cov" -> (d => SparkEntry.queries("q_llm_embed_cov")(spark, d).count()),
+      "q_llm_embed_quantize" -> (d => SparkEntry.queries("q_llm_embed_quantize")(spark, d).count()),
+      "q_stream_live_foreachbatch" -> (d => SparkEntry.queries("q_stream_live_foreachbatch")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

@@ -44,7 +44,8 @@ object SparkEntry {
     (Extras14.queries, Extras14.oracle),
     (Extras15.queries, Extras15.oracle),
     (Extras16.queries, Extras16.oracle),
-    (Extras17.queries, Extras17.oracle)
+    (Extras17.queries, Extras17.oracle),
+    (Extras18.queries, Extras18.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
