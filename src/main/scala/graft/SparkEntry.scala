@@ -45,7 +45,8 @@ object SparkEntry {
     (Extras15.queries, Extras15.oracle),
     (Extras16.queries, Extras16.oracle),
     (Extras17.queries, Extras17.oracle),
-    (Extras18.queries, Extras18.oracle)
+    (Extras18.queries, Extras18.oracle),
+    (Extras19.queries, Extras19.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
