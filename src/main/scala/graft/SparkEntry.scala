@@ -46,7 +46,8 @@ object SparkEntry {
     (Extras16.queries, Extras16.oracle),
     (Extras17.queries, Extras17.oracle),
     (Extras18.queries, Extras18.oracle),
-    (Extras19.queries, Extras19.oracle)
+    (Extras19.queries, Extras19.oracle),
+    (Extras20.queries, Extras20.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
