@@ -47,7 +47,8 @@ object SparkEntry {
     (Extras17.queries, Extras17.oracle),
     (Extras18.queries, Extras18.oracle),
     (Extras19.queries, Extras19.oracle),
-    (Extras20.queries, Extras20.oracle)
+    (Extras20.queries, Extras20.oracle),
+    (Extras21.queries, Extras21.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
