@@ -184,7 +184,30 @@ object ScaleProbe {
       "q_graph_kcore" -> (d => SparkEntry.queries("q_graph_kcore")(spark, d).count()),
       "q_llm_embed_cov" -> (d => SparkEntry.queries("q_llm_embed_cov")(spark, d).count()),
       "q_llm_embed_quantize" -> (d => SparkEntry.queries("q_llm_embed_quantize")(spark, d).count()),
-      "q_stream_live_foreachbatch" -> (d => SparkEntry.queries("q_stream_live_foreachbatch")(spark, d).count())
+      "q_stream_live_foreachbatch" -> (d => SparkEntry.queries("q_stream_live_foreachbatch")(spark, d).count()),
+      // Round-7.4/7.5 probes (Extras18–21): the running-last as-of carry
+      // and the user-partitioned sequence shapes (markov, peaks, first-
+      // touch cumulative distinct) over the 8× user space; the triangle
+      // three-join + degree-correlation graph statistics; the basket-
+      // squared itemset join over remapped order keys; the one-pass
+      // multi-distinct profile over 8× orders; and the three newest
+      // stateful/multi-source live keys (left-outer null emission,
+      // event-time-timeout sessions, dual-source union). RFM is probed
+      // for its fact-side agg only — o_custkey is deliberately NOT
+      // remapped by the fixture, so its dimension windows stay constant.
+      // Skyline is NOT probed: the part table doesn't replicate.
+      "q_join_asof_tolerance" -> (d => SparkEntry.queries("q_join_asof_tolerance")(spark, d).count()),
+      "q_evt_markov" -> (d => SparkEntry.queries("q_evt_markov")(spark, d).count()),
+      "q_ts_peaks" -> (d => SparkEntry.queries("q_ts_peaks")(spark, d).count()),
+      "q_win_running_distinct" -> (d => SparkEntry.queries("q_win_running_distinct")(spark, d).count()),
+      "q_graph_cluster_coeff" -> (d => SparkEntry.queries("q_graph_cluster_coeff")(spark, d).count()),
+      "q_graph_assortativity" -> (d => SparkEntry.queries("q_graph_assortativity")(spark, d).count()),
+      "q_agg_itemsets" -> (d => SparkEntry.queries("q_agg_itemsets")(spark, d).count()),
+      "q_agg_rfm" -> (d => SparkEntry.queries("q_agg_rfm")(spark, d).count()),
+      "q_dq_profile" -> (d => SparkEntry.queries("q_dq_profile")(spark, d).count()),
+      "q_stream_live_louter" -> (d => SparkEntry.queries("q_stream_live_louter")(spark, d).count()),
+      "q_stream_live_timeout" -> (d => SparkEntry.queries("q_stream_live_timeout")(spark, d).count()),
+      "q_stream_live_union" -> (d => SparkEntry.queries("q_stream_live_union")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

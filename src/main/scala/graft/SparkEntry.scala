@@ -48,7 +48,8 @@ object SparkEntry {
     (Extras18.queries, Extras18.oracle),
     (Extras19.queries, Extras19.oracle),
     (Extras20.queries, Extras20.oracle),
-    (Extras21.queries, Extras21.oracle)
+    (Extras21.queries, Extras21.oracle),
+    (Extras22.queries, Extras22.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
