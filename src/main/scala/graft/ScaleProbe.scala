@@ -207,7 +207,19 @@ object ScaleProbe {
       "q_dq_profile" -> (d => SparkEntry.queries("q_dq_profile")(spark, d).count()),
       "q_stream_live_louter" -> (d => SparkEntry.queries("q_stream_live_louter")(spark, d).count()),
       "q_stream_live_timeout" -> (d => SparkEntry.queries("q_stream_live_timeout")(spark, d).count()),
-      "q_stream_live_union" -> (d => SparkEntry.queries("q_stream_live_union")(spark, d).count())
+      "q_stream_live_union" -> (d => SparkEntry.queries("q_stream_live_union")(spark, d).count()),
+      // Round-7.6 probes (Extras23): the two rank tests walk an ECDF
+      // grid that grows with distinct price values; islands/cohort are
+      // user-partitioned sequence shapes over the 8× user space;
+      // bollinger's daily spine is calendar-bounded (the 100 TB shape —
+      // probed to prove the flat ratio). q_join_fuzzy is NOT probed:
+      // its quadratic runs over the p_name label dimension and the
+      // fixture doesn't replicate the part table.
+      "q_agg_ks_test" -> (d => SparkEntry.queries("q_agg_ks_test")(spark, d).count()),
+      "q_agg_mannwhitney" -> (d => SparkEntry.queries("q_agg_mannwhitney")(spark, d).count()),
+      "q_ts_islands" -> (d => SparkEntry.queries("q_ts_islands")(spark, d).count()),
+      "q_evt_cohort" -> (d => SparkEntry.queries("q_evt_cohort")(spark, d).count()),
+      "q_ts_bollinger" -> (d => SparkEntry.queries("q_ts_bollinger")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

@@ -49,7 +49,8 @@ object SparkEntry {
     (Extras19.queries, Extras19.oracle),
     (Extras20.queries, Extras20.oracle),
     (Extras21.queries, Extras21.oracle),
-    (Extras22.queries, Extras22.oracle)
+    (Extras22.queries, Extras22.oracle),
+    (Extras23.queries, Extras23.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
