@@ -219,7 +219,18 @@ object ScaleProbe {
       "q_agg_mannwhitney" -> (d => SparkEntry.queries("q_agg_mannwhitney")(spark, d).count()),
       "q_ts_islands" -> (d => SparkEntry.queries("q_ts_islands")(spark, d).count()),
       "q_evt_cohort" -> (d => SparkEntry.queries("q_evt_cohort")(spark, d).count()),
-      "q_ts_bollinger" -> (d => SparkEntry.queries("q_ts_bollinger")(spark, d).count())
+      "q_ts_bollinger" -> (d => SparkEntry.queries("q_ts_bollinger")(spark, d).count()),
+      // Round-7.7 probes (Extras24): dau_wau's 7× user-day explode and
+      // inter_event's per-(type,user) lag ride the 8× user space;
+      // trimmed_mean re-sorts the 8× fact rows per flag; gaps lags per
+      // customer over remapped order days. anova/forecast_err are
+      // pivot-/calendar-bounded but probed to prove the flat ratio.
+      "q_evt_dau_wau" -> (d => SparkEntry.queries("q_evt_dau_wau")(spark, d).count()),
+      "q_evt_inter_event" -> (d => SparkEntry.queries("q_evt_inter_event")(spark, d).count()),
+      "q_agg_trimmed_mean" -> (d => SparkEntry.queries("q_agg_trimmed_mean")(spark, d).count()),
+      "q_ts_gaps" -> (d => SparkEntry.queries("q_ts_gaps")(spark, d).count()),
+      "q_agg_anova" -> (d => SparkEntry.queries("q_agg_anova")(spark, d).count()),
+      "q_ts_forecast_err" -> (d => SparkEntry.queries("q_ts_forecast_err")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

@@ -50,7 +50,8 @@ object SparkEntry {
     (Extras20.queries, Extras20.oracle),
     (Extras21.queries, Extras21.oracle),
     (Extras22.queries, Extras22.oracle),
-    (Extras23.queries, Extras23.oracle)
+    (Extras23.queries, Extras23.oracle),
+    (Extras24.queries, Extras24.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
