@@ -230,7 +230,19 @@ object ScaleProbe {
       "q_agg_trimmed_mean" -> (d => SparkEntry.queries("q_agg_trimmed_mean")(spark, d).count()),
       "q_ts_gaps" -> (d => SparkEntry.queries("q_ts_gaps")(spark, d).count()),
       "q_agg_anova" -> (d => SparkEntry.queries("q_agg_anova")(spark, d).count()),
-      "q_ts_forecast_err" -> (d => SparkEntry.queries("q_ts_forecast_err")(spark, d).count())
+      "q_ts_forecast_err" -> (d => SparkEntry.queries("q_ts_forecast_err")(spark, d).count()),
+      // Round-7.8 probes (Extras25): fidelity re-runs the full minhash
+      // pipeline over the 8× suffixed corpus (replicated pair
+      // structure, not quadratic); the funnel is one corpus pass;
+      // fixed-sample proves TakeOrdered stays k-bounded; burst rides
+      // the (type × day) grid. json_nested is NOT probed — its cost is
+      // the FixtureCache build, which the dpp#cold probe already
+      // represents.
+      "q_llm_minhash_fidelity" -> (d => SparkEntry.queries("q_llm_minhash_fidelity")(spark, d).count()),
+      "q_llm_filter_funnel" -> (d => SparkEntry.queries("q_llm_filter_funnel")(spark, d).count()),
+      "q_scan_sample_fixed" -> (d => SparkEntry.queries("q_scan_sample_fixed")(spark, d).count()),
+      "q_evt_burst" -> (d => SparkEntry.queries("q_evt_burst")(spark, d).count()),
+      "q_ts_pattern" -> (d => SparkEntry.queries("q_ts_pattern")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
