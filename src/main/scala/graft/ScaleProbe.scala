@@ -242,7 +242,15 @@ object ScaleProbe {
       "q_llm_filter_funnel" -> (d => SparkEntry.queries("q_llm_filter_funnel")(spark, d).count()),
       "q_scan_sample_fixed" -> (d => SparkEntry.queries("q_scan_sample_fixed")(spark, d).count()),
       "q_evt_burst" -> (d => SparkEntry.queries("q_evt_burst")(spark, d).count()),
-      "q_ts_pattern" -> (d => SparkEntry.queries("q_ts_pattern")(spark, d).count())
+      "q_ts_pattern" -> (d => SparkEntry.queries("q_ts_pattern")(spark, d).count()),
+      // Round-7.9 probes (Extras26): overlap's pair join must stay
+      // user-linear over the 8× user space; lorenz is one fact shuffle
+      // to the customer grain + a 10-row spine; psi is one fact pass
+      // into 10 fixed bins. xcorr/diversity are dimension-bounded, and
+      // ann_recall composes kernels the recall section already probes.
+      "q_evt_overlap" -> (d => SparkEntry.queries("q_evt_overlap")(spark, d).count()),
+      "q_agg_lorenz" -> (d => SparkEntry.queries("q_agg_lorenz")(spark, d).count()),
+      "q_dq_psi" -> (d => SparkEntry.queries("q_dq_psi")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
