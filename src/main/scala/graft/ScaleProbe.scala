@@ -250,7 +250,15 @@ object ScaleProbe {
       // ann_recall composes kernels the recall section already probes.
       "q_evt_overlap" -> (d => SparkEntry.queries("q_evt_overlap")(spark, d).count()),
       "q_agg_lorenz" -> (d => SparkEntry.queries("q_agg_lorenz")(spark, d).count()),
-      "q_dq_psi" -> (d => SparkEntry.queries("q_dq_psi")(spark, d).count())
+      "q_dq_psi" -> (d => SparkEntry.queries("q_dq_psi")(spark, d).count()),
+      // Round-7.10 probes (Extras27): hits is two user-linear
+      // join+agg rounds over the distinct bipartite edge set; keyset
+      // must stay top-k + pushed range predicate (never a skip-scan);
+      // winsorized shares trimmed_mean's per-group sort — the known
+      // 3-partition order-statistic cost, probed to keep it honest.
+      "q_graph_hits" -> (d => SparkEntry.queries("q_graph_hits")(spark, d).count()),
+      "q_scan_keyset" -> (d => SparkEntry.queries("q_scan_keyset")(spark, d).count()),
+      "q_agg_winsorized_mean" -> (d => SparkEntry.queries("q_agg_winsorized_mean")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
