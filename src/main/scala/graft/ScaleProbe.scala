@@ -258,7 +258,15 @@ object ScaleProbe {
       // 3-partition order-statistic cost, probed to keep it honest.
       "q_graph_hits" -> (d => SparkEntry.queries("q_graph_hits")(spark, d).count()),
       "q_scan_keyset" -> (d => SparkEntry.queries("q_scan_keyset")(spark, d).count()),
-      "q_agg_winsorized_mean" -> (d => SparkEntry.queries("q_agg_winsorized_mean")(spark, d).count())
+      "q_agg_winsorized_mean" -> (d => SparkEntry.queries("q_agg_winsorized_mean")(spark, d).count()),
+      // Round-7.11 probes (Extras28): qualify is the canonical
+      // partitioned window over the orders fact (must scale with the
+      // custkey shuffle, never a global sort); reciprocity is the
+      // per-user lead + bounded pair fold; rolling_corr's fact work is
+      // one daily agg — the window rides a calendar-bounded spine.
+      "q_sql_qualify" -> (d => SparkEntry.queries("q_sql_qualify")(spark, d).count()),
+      "q_graph_reciprocity" -> (d => SparkEntry.queries("q_graph_reciprocity")(spark, d).count()),
+      "q_ts_rolling_corr" -> (d => SparkEntry.queries("q_ts_rolling_corr")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
