@@ -266,7 +266,14 @@ object ScaleProbe {
       // one daily agg — the window rides a calendar-bounded spine.
       "q_sql_qualify" -> (d => SparkEntry.queries("q_sql_qualify")(spark, d).count()),
       "q_graph_reciprocity" -> (d => SparkEntry.queries("q_graph_reciprocity")(spark, d).count()),
-      "q_ts_rolling_corr" -> (d => SparkEntry.queries("q_ts_rolling_corr")(spark, d).count())
+      "q_ts_rolling_corr" -> (d => SparkEntry.queries("q_ts_rolling_corr")(spark, d).count()),
+      // Round-7.12 probes (Extras29): the partitioned sink must scale
+      // with the status fan-out (3 dirs) not file count; disc
+      // percentiles share the per-group sort budget; conversion lag is
+      // two user-grain aggs + one join — all user-linear.
+      "q_sink_partitioned" -> (d => SparkEntry.queries("q_sink_partitioned")(spark, d).count()),
+      "q_agg_percentile_disc" -> (d => SparkEntry.queries("q_agg_percentile_disc")(spark, d).count()),
+      "q_evt_conversion_lag" -> (d => SparkEntry.queries("q_evt_conversion_lag")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
