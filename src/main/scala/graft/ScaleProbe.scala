@@ -273,7 +273,15 @@ object ScaleProbe {
       // two user-grain aggs + one join — all user-linear.
       "q_sink_partitioned" -> (d => SparkEntry.queries("q_sink_partitioned")(spark, d).count()),
       "q_agg_percentile_disc" -> (d => SparkEntry.queries("q_agg_percentile_disc")(spark, d).count()),
-      "q_evt_conversion_lag" -> (d => SparkEntry.queries("q_evt_conversion_lag")(spark, d).count())
+      "q_evt_conversion_lag" -> (d => SparkEntry.queries("q_evt_conversion_lag")(spark, d).count()),
+      // Round-7.13 probes (Extras30): novelty's min-agg + postings
+      // join must stay gram-linear; concurrency is THE distributed
+      // prefix-sum shape (per-day window + day spine) — the probe
+      // guards against regressing to a global single-partition sort;
+      // vocab_growth is one token min-agg + a 4-row broadcast spine.
+      "q_llm_novelty" -> (d => SparkEntry.queries("q_llm_novelty")(spark, d).count()),
+      "q_ts_concurrency" -> (d => SparkEntry.queries("q_ts_concurrency")(spark, d).count()),
+      "q_llm_vocab_growth" -> (d => SparkEntry.queries("q_llm_vocab_growth")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
