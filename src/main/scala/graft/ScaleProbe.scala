@@ -281,7 +281,14 @@ object ScaleProbe {
       // vocab_growth is one token min-agg + a 4-row broadcast spine.
       "q_llm_novelty" -> (d => SparkEntry.queries("q_llm_novelty")(spark, d).count()),
       "q_ts_concurrency" -> (d => SparkEntry.queries("q_ts_concurrency")(spark, d).count()),
-      "q_llm_vocab_growth" -> (d => SparkEntry.queries("q_llm_vocab_growth")(spark, d).count())
+      "q_llm_vocab_growth" -> (d => SparkEntry.queries("q_llm_vocab_growth")(spark, d).count()),
+      // Round-7.14 probes (Extras31): label_prop is two edge-linear
+      // join+agg rounds (the iterative-graph cost model); twa is one
+      // (type, day) window + agg over the fact table; shard_assign is
+      // one corpus pass + an 8-row spine.
+      "q_graph_label_prop" -> (d => SparkEntry.queries("q_graph_label_prop")(spark, d).count()),
+      "q_ts_twa" -> (d => SparkEntry.queries("q_ts_twa")(spark, d).count()),
+      "q_llm_shard_assign" -> (d => SparkEntry.queries("q_llm_shard_assign")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
