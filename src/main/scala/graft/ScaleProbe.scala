@@ -288,7 +288,13 @@ object ScaleProbe {
       // one corpus pass + an 8-row spine.
       "q_graph_label_prop" -> (d => SparkEntry.queries("q_graph_label_prop")(spark, d).count()),
       "q_ts_twa" -> (d => SparkEntry.queries("q_ts_twa")(spark, d).count()),
-      "q_llm_shard_assign" -> (d => SparkEntry.queries("q_llm_shard_assign")(spark, d).count())
+      "q_llm_shard_assign" -> (d => SparkEntry.queries("q_llm_shard_assign")(spark, d).count()),
+      // Round-7.15 probes (Extras32): mau_rolling's 28× expansion must
+      // stay linear (the whole point of the expand-dedup form); m4 is
+      // two windows + one agg over the fact; ltv_cohort is user-grain.
+      "q_evt_mau_rolling" -> (d => SparkEntry.queries("q_evt_mau_rolling")(spark, d).count()),
+      "q_ts_m4" -> (d => SparkEntry.queries("q_ts_m4")(spark, d).count()),
+      "q_evt_ltv_cohort" -> (d => SparkEntry.queries("q_evt_ltv_cohort")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>
