@@ -59,7 +59,8 @@ object SparkEntry {
     (Extras29.queries, Extras29.oracle),
     (Extras30.queries, Extras30.oracle),
     (Extras31.queries, Extras31.oracle),
-    (Extras32.queries, Extras32.oracle)
+    (Extras32.queries, Extras32.oracle),
+    (Extras33.queries, Extras33.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
