@@ -46,24 +46,30 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Two output lines, both valid JSON payloads, by deliberate design:
-    // the harness keeps only the LAST ~2000 characters of output, and a
-    // full per-query map over 150+ queries is ~6 KB — a single giant line
-    // gets its head (including the `{"metric"` anchor) truncated away and
-    // parses as nothing. So:
-    //   1. a DETAIL-prefixed full-precision per-query line for humans and
-    //      for the BASELINE.md record (may be truncated in the tail);
-    //   2. the contract line LAST, kept deliberately small: headline
-    //      total + the slowest 15 queries (3 dp) + count of the rest —
-    //      it must fit inside the tail window in full.
+    // The stdout contract line must survive a harness that keeps only the
+    // LAST ~2000 characters of output. Round 7 proved every part of the
+    // line must be BOUNDED: an unbounded failed-list (a testdata schema
+    // change broke every events query at once) pushed the `{"metric"`
+    // anchor out of the tail window and the round recorded parsed:null.
+    // So: full-precision per-query detail goes to a FILE (never
+    // truncated); stdout carries a contract line whose every field is
+    // size-capped — headline total, slowest 15 queries, failure COUNT
+    // plus at most 10 names.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""DETAIL {"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write to $outFile failed: ${e.getMessage}") }
+    println(s"DETAIL $detail")
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val failedCap = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalR = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

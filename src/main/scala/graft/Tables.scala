@@ -36,26 +36,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.ts is parquet timestamp[ns], which Spark's µs TimestampType
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). The supported path is the
-    * `nanosAsLong` legacy conf: read ts as LongType nanos, then integer-
-    * divide (`div` — epoch-ns ≈ 1.7e18 exceeds double's 53-bit mantissa,
-    * so `/` would corrupt values) down to µs. The DuckDB oracle mirrors
-    * the same truncation with `ts::TIMESTAMP` (§2.13 rule 3).
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: parquet timestamp[ns] (rounds 1–7), which Spark's µs
+    * TimestampType refuses outright ([PARQUET_TYPE_ILLEGAL]) and must be
+    * read via the `nanosAsLong` legacy conf as LongType nanos, and plain
+    * timestamp[us] (round 8+), which reads as TIMESTAMP_NTZ directly. The
+    * loader is SCHEMA-DRIVEN: it inspects the footer-derived type and
+    * applies the matching normalization, so both layouts land on the same
+    * µs TimestampType (UTC session) every downstream query and oracle was
+    * graded against. ns→µs uses integer `div` (epoch-ns ≈ 1.7e18 exceeds
+    * double's 53-bit mantissa, so `/` would corrupt values); the DuckDB
+    * oracle sees the same values natively either way (§2.13 rule 3).
     *
-    * The conf is session-wide and Spark offers no per-read option for it,
-    * so it is set ONCE at session construction (GraftExtensions.session,
-    * Verify, Bench, the test harness) rather than mutated here as a loader
-    * side effect — a session without it fails loudly on the ns column
-    * ([PARQUET_TYPE_ILLEGAL]) instead of other reads being silently
-    * retyped mid-session.
+    * The nanosAsLong conf stays set at session construction
+    * (GraftExtensions.session, Verify, Bench, the test harness) — it is
+    * inert for µs files and required for ns files.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session construction " +
-        "(see GraftExtensions.session) before reading the ns-timestamped events table")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy ns-as-long layout
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // timestamp[us]: NTZ→TZ cast is value-preserving under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
 

@@ -122,25 +122,29 @@ object Extras13 {
         .orderBy("dow")
     }),
 
-    // CUSUM CHANGEPOINT SERIES — cumulative sum of deviations from the
-    // series mean: cusum_k = S_k − k·mean with S_k an EXACT decimal
-    // running sum and mean one shared IEEE division; a change in level
-    // shows as a cusum trend break. Calendar-bounded single-partition
-    // tail window (the q_ts_acf argument); the daily aggregate is the
-    // only data-sized shuffle.
+    // CUSUM CHANGEPOINT SERIES — cumulative deviation from the series
+    // mean, shipped as its EXACT integer numerator (round 8):
+    // cusum_k = S_k − k·(T/N) scales to tn·S_k − k·T, all BIGINT cents
+    // (headroom: N≈2 400 days × T<2^44 cents at sf100 stays < 2^63).
+    // The former round(double,4) output was hostage to the oracle
+    // engine's round() build; an all-integer emit cannot diverge, and
+    // telescoping makes the final row EXACTLY zero (spec-asserted).
+    // Calendar-bounded single-partition tail window (the q_ts_acf
+    // argument); the daily aggregate is the only data-sized shuffle.
     "q_ts_cusum" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
-        .agg(sum(dec(col("o_totalprice"))).as("v"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("v_cents"))
       val w = Window.orderBy("dt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = daily.agg(count(lit(1)).as("tn"),
-        sum(col("v")).cast("double").as("tv"))
+        sum(col("v_cents")).as("t_cents"))
       daily.crossJoin(broadcast(tot))
-        .select(col("dt"), col("v").cast("double").as("v"),
-          round(sum(col("v")).over(w).cast("double")
-            - row_number().over(Window.orderBy("dt"))
-              * (col("tv") / col("tn")), 4).as("cusum"))
+        .select(col("dt"), col("v_cents"),
+          (col("tn") * sum(col("v_cents")).over(w)
+            - row_number().over(Window.orderBy("dt")).cast("long")
+              * col("t_cents")).as("cusum_num"),
+          col("tn"))
         .orderBy("dt")
     })
   )
@@ -187,16 +191,19 @@ object Extras13 {
          FROM per CROSS JOIN tot ORDER BY dow""",
     "q_ts_cusum" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
-                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS v_cents
               FROM orders GROUP BY 1),
-            tot AS (SELECT COUNT(*) AS tn, CAST(SUM(v) AS DOUBLE) AS tv
+            tot AS (SELECT COUNT(*) AS tn,
+                           CAST(SUM(v_cents) AS BIGINT) AS t_cents
                     FROM daily)
-         SELECT dt, CAST(v AS DOUBLE) AS v,
-                round(CAST(SUM(v) OVER (ORDER BY dt
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DOUBLE)
-                  - row_number() OVER (ORDER BY dt) * (tv / tn), 4)
-                  AS cusum
+         SELECT dt, v_cents,
+                CAST(tn * CAST(SUM(v_cents) OVER (ORDER BY dt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
+                  - row_number() OVER (ORDER BY dt) * t_cents
+                  AS BIGINT) AS cusum_num,
+                tn
          FROM daily CROSS JOIN tot ORDER BY dt"""
   )
 }

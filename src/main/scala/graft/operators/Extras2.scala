@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 
@@ -131,17 +132,51 @@ object Extras2 {
           col("r_name"))
         .orderBy("n_nationkey", "r_regionkey")),
 
-    // Approximate percentiles (t-digest-style sketch) — no DuckDB oracle
-    // (estimator differs by design); the exact companion is
-    // q_agg_percentile. Rows-only check, like q_agg_approx_distinct.
-    "q_agg_percentile_approx" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // Approximate percentiles (t-digest-style sketch) with a TOLERANCE
+    // oracle (round 8, advice #4): the estimator itself is engine-
+    // specific, so the graded emit is (a) the EXACT discrete percentile
+    // — smallest value whose cumulative count reaches ceil(p·n), all
+    // ranks in integer arithmetic ((n+1) div 2, (9n+9) div 10; 0.9·n in
+    // IEEE would mis-ceil on exact multiples) over a per-(flag,value)
+    // histogram, cross-engine reproducible — and (b) a boolean asserting
+    // the sketch landed within max(1.0, 2%) of it, which DuckDB asserts
+    // as literal TRUE. A drifting estimator now FAILS the hash compare
+    // instead of hiding behind rows-only. The histogram path is also the
+    // 100 TB shape: l_quantity has ~50 distinct values, so the exact
+    // percentile reduces to a 50-row cumsum per group, not a data sort.
+    "q_agg_percentile_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
           .as("med_approx"),
           percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
             .as("p90_approx"))
-        .orderBy("l_returnflag")),
+      val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      val exact = hist
+        .withColumn("cum", sum(col("c")).over(wcum))
+        .join(tot, "l_returnflag")
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r90", expr("(9 * n + 9) div 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= col("r50"), col("l_quantity")))
+            .as("med_exact"),
+          min(when(col("cum") >= col("r90"), col("l_quantity")))
+            .as("p90_exact"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          col("med_exact"), col("p90_exact"),
+          (abs(col("med_approx") - col("med_exact"))
+            <= greatest(lit(1.0), col("med_exact") * 0.02)).as("med_ok"),
+          (abs(col("p90_approx") - col("p90_exact"))
+            <= greatest(lit(1.0), col("p90_exact") * 0.02)).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // Correlation / covariance from EXACT decimal moments (Σx, Σy, Σxy,
     // Σx², Σy²) with one shared double formula — same rationale as
@@ -462,6 +497,29 @@ object Extras2 {
   )
 
   val oracle: Map[String, String] = Map(
+    // Tolerance oracle: exact discrete percentiles are reproduced in
+    // DuckDB (same integer-rank histogram walk); the _ok booleans are the
+    // Spark-side sketch-vs-exact bound, asserted here as literal TRUE —
+    // an out-of-tolerance estimate flips the cell and fails the hash.
+    "q_agg_percentile_approx" ->
+      """WITH hist AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n
+                    FROM hist GROUP BY 1),
+            cum AS (SELECT h.l_returnflag, h.l_quantity, t.n,
+                      CAST(SUM(h.c) OVER (PARTITION BY h.l_returnflag
+                        ORDER BY h.l_quantity
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+                    FROM hist h JOIN tot t USING (l_returnflag))
+         SELECT l_returnflag, MAX(n) AS n,
+                MIN(CASE WHEN cum >= (n + 1) // 2 THEN l_quantity END)
+                  AS med_exact,
+                MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN l_quantity END)
+                  AS p90_exact,
+                TRUE AS med_ok, TRUE AS p90_ok
+         FROM cum GROUP BY 1 ORDER BY 1""",
+
     // max_by((price, key)) == "price DESC, key DESC, take first";
     // min_by == "price ASC, key ASC, take first".
     "q_agg_argmax" ->

@@ -214,7 +214,7 @@ object Extras22 {
       val p1 = col("x1").cast("double") / n1
       val pp = ((col("x0") + col("x1")).cast("double")
         / (col("n0") + col("n1")).cast("double"))
-      a0.crossJoin(a1)
+      a0.crossJoin(broadcast(a1))
         // a degenerate pool (0% or 100% conversion) has no defined z —
         // both engines emit NULL instead of an ANSI error / IEEE Inf
         .select(col("n0"), col("x0"), col("n1"), col("x1"),

@@ -101,7 +101,10 @@ object Extras23 {
     "q_join_fuzzy" -> ((s, d) => {
       val names = Tables.part(s, d)
         .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
-      names.as("a").join(names.as("b"),
+      // the label dimension is distinct-reduced and bounded (it does not
+      // grow with fact rows), so the quadratic side broadcasts: BNLJ over
+      // a broadcast dim, never a shuffled cartesian of fact data
+      names.as("a").join(broadcast(names.as("b")),
           col("a.p_name") < col("b.p_name")
             && levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
@@ -115,11 +118,12 @@ object Extras23 {
     // q_ts_zscore's global z-score). The breach predicate is EXACT
     // INTEGER arithmetic end to end: |y−s1/20| > 2·σ squares to
     // 19·(20y−s1)² > 80·(20s2−s1²), all DECIMAL(38,0) from rolling
-    // cents/cents² sums — no IEEE op decides membership. (DuckDB's
-    // hugeint→double cast truncates instead of rounding above 2^53, so
-    // casting the wide sums to double is NOT cross-engine-stable; the
-    // emitted doubles below derive only from s1 < 2^53, and the
-    // variance ships as its exact integer numerator.)
+    // cents/cents² sums — no IEEE op decides membership. The OUTPUT is
+    // exact-integer too (round 8): the window sum s1 ships as a BIGINT
+    // instead of the former s1/20 double — a hash compare of doubles is
+    // hostage to the oracle engine's cast/round build (DuckDB's
+    // hugeint→double truncates >2^53, and round(double,n) semantics
+    // have shifted across releases), so no emitted cell is IEEE-derived.
     "q_ts_bollinger" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
@@ -137,7 +141,7 @@ object Extras23 {
         .where(col("n") === 20
           && lit(19L) * dev * dev > lit(80L) * m2)
         .select(col("dt"), col("y").as("y_cents"),
-          (col("s1").cast("double") / lit(20.0)).as("mean_cents"),
+          col("s1").as("s1_cents"),
           m2.as("m2_num"),
           when(dev > 0, "hi").otherwise("lo").as("side"))
         .orderBy("dt")
@@ -294,7 +298,7 @@ object Extras23 {
                          * CAST(s1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS m2
                   FROM w WHERE n = 20)
          SELECT dt, y AS y_cents,
-                CAST(s1 AS DOUBLE) / CAST(20 AS DOUBLE) AS mean_cents,
+                CAST(s1 AS BIGINT) AS s1_cents,
                 m2 AS m2_num,
                 CASE WHEN dev > 0 THEN 'hi' ELSE 'lo' END AS side
          FROM f

@@ -33,7 +33,7 @@ object Extras26 {
         .agg(count(lit(1)).as("hits_ivf"))
       val hitsLsh = exact5.join(lsh, "vec_id")
         .agg(count(lit(1)).as("hits_lsh"))
-      hitsIvf.crossJoin(hitsLsh)
+      hitsIvf.crossJoin(broadcast(hitsLsh))
         .select(lit(5L).as("k"), col("hits_ivf"),
           (col("hits_ivf").cast("double") / lit(5.0)).as("recall_ivf"),
           col("hits_lsh"),

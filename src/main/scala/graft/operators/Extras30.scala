@@ -108,7 +108,7 @@ object Extras30 {
       val maxDoc = docs.agg(max(col("doc_id")).as("max_doc"))
       val spine = broadcast(
         s.createDataFrame(Seq(25, 50, 75, 100).map(Tuple1(_))).toDF("pct")
-          .crossJoin(maxDoc)
+          .crossJoin(broadcast(maxDoc))
           .select(col("pct"), expr("max_doc * pct div 100").as("thr")))
       firstDoc.crossJoin(spine)
         .where(col("first_doc") <= col("thr"))

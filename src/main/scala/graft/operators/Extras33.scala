@@ -15,34 +15,41 @@ object Extras33 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // MONTHLY CHURN — per calendar month (except the last, which has no
-    // successor to retain into): users active that month, how many were
-    // also active the NEXT month, churned = the difference. The exact
-    // distributed form: dedup to (user, month) grain first — one shuffle
-    // on a key whose cardinality is users×months, NOT raw events — then
-    // a self-equi-join on (user, month+1). Complements q_evt_retention
-    // (first-touch weekly cohorts): this is the calendar-month operating
+    // WEEKLY CHURN — per week (except the last, which has no successor
+    // to retain into): users active that week, how many were also active
+    // the NEXT week, churned = the difference. Week indexes are EXACT
+    // integers from a fixed pre-data Monday epoch ((date − 2020-01-06)
+    // div 7 — the q_evt_retention rule; engines disagree on native week
+    // truncation), re-grained from calendar months in round 8 when the
+    // regenerated testdata collapsed to a single month. The exact
+    // distributed form: dedup to (user, week) grain first — one shuffle
+    // on a key whose cardinality is users×weeks, NOT raw events — then a
+    // self-equi-join on (user, week+1). Complements q_evt_retention
+    // (first-touch cohorts): this is the period-over-period operating
     // metric a growth dashboard tracks.
     "q_evt_churn" -> ((s, d) => {
       val am = Tables.events(s, d)
-        .select(col("user_id"), trunc(to_date(col("ts")), "month").as("m"))
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '2020-01-06') div 7").as("wk"))
         .distinct()
-      val span = am.agg(max(col("m")).as("mmax"))
-      val next = am.select(col("user_id").as("uid2"), col("m").as("m_next"))
+      val span = am.agg(max(col("wk")).as("wmax"))
+      val next = am.select(col("user_id").as("uid2"), col("wk").as("wk_next"))
       am.join(next,
           col("uid2") === col("user_id") &&
-            col("m_next") === add_months(col("m"), 1), "left")
+            col("wk_next") === col("wk") + 1, "left")
         .crossJoin(broadcast(span))
-        .where(col("m") < col("mmax"))
-        .groupBy(col("m").as("month"))
+        .where(col("wk") < col("wmax"))
+        .groupBy(col("wk"))
         .agg(count(lit(1)).as("n_active"),
-          sum(when(col("m_next").isNotNull, 1L).otherwise(0L))
+          sum(when(col("wk_next").isNotNull, 1L).otherwise(0L))
             .as("n_retained"))
-        .select(col("month"), col("n_active"), col("n_retained"),
+        .select(date_add(lit("2020-01-06").cast("date"),
+            (col("wk") * 7).cast("int")).as("week_start"),
+          col("n_active"), col("n_retained"),
           (col("n_active") - col("n_retained")).as("n_churned"),
           ((col("n_active") - col("n_retained")).cast("double")
             / col("n_active").cast("double")).as("churn_rate"))
-        .orderBy("month")
+        .orderBy("week_start")
     }),
 
     // SNAPSHOT DIFF — the lakehouse table-version audit: two parquet
@@ -132,7 +139,7 @@ object Extras33 {
         val orphans = keyed.join(parent.select(col(pk).as("fk")),
           Seq("fk"), "left_anti")
         keyed.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
           .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
             (col("n_orphans").cast("double") / col("n_rows").cast("double"))
               .as("orphan_rate"))
@@ -182,11 +189,11 @@ object Extras33 {
 
     "q_evt_churn" ->
       """WITH am AS (SELECT DISTINCT user_id,
-                       CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
-                            AS DATE) AS m
+                       (CAST(ts AS DATE) - DATE '2020-01-06') // 7 AS wk
                      FROM events),
-            span AS (SELECT MAX(m) AS mmax FROM am)
-         SELECT a.m AS month, COUNT(*) AS n_active,
+            span AS (SELECT MAX(wk) AS wmax FROM am)
+         SELECT DATE '2020-01-06' + CAST(a.wk * 7 AS INT) AS week_start,
+                COUNT(*) AS n_active,
                 CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_retained,
                 CAST(COUNT(*) - SUM(CASE WHEN b.user_id IS NOT NULL
@@ -196,11 +203,10 @@ object Extras33 {
                                          THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS churn_rate
          FROM am a
-         LEFT JOIN am b ON b.user_id = a.user_id
-                       AND b.m = CAST(a.m + INTERVAL 1 MONTH AS DATE)
+         LEFT JOIN am b ON b.user_id = a.user_id AND b.wk = a.wk + 1
          CROSS JOIN span
-         WHERE a.m < span.mmax
-         GROUP BY a.m ORDER BY a.m""",
+         WHERE a.wk < span.wmax
+         GROUP BY a.wk ORDER BY week_start""",
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey AS k,

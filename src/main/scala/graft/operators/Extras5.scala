@@ -214,11 +214,18 @@ object Extras5 {
     // Mergeable HLL sketches (Datasketches via Spark 3.5+ built-ins):
     // per-status sketches BUILD once, UNION without touching raw data —
     // the 100 TB cardinality workflow (per-partition/per-day sketches
-    // merged at query time). Estimates are engine-specific → no DuckDB
-    // oracle (rows-only check, same class as q_agg_approx_distinct);
-    // Extras5Spec bounds them against exact counts instead.
+    // merged at query time). TOLERANCE oracle (round 8, advice #4):
+    // estimates are engine-specific, so the graded emit is the EXACT
+    // distinct count (cross-engine integer) plus an all-integer 5%-bound
+    // verdict 20·|approx − exact| ≤ exact that DuckDB asserts as literal
+    // TRUE — a sketch straying past 5% now fails the hash compare
+    // (default lgK=12 ⇒ ~1.6% RSE, so the bound is real but not fragile).
+    // The exact-distinct side is the VALIDATION harness, not the
+    // production path — at 100 TB you'd run the sketch alone; Extras5Spec
+    // additionally bounds the raw estimates in-process.
     "q_agg_hll_union" -> ((s, d) => {
-      val perStatus = Tables.orders(s, d)
+      val orders = Tables.orders(s, d)
+      val perStatus = orders
         .groupBy(col("o_orderstatus"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
       val per = perStatus.select(col("o_orderstatus"),
@@ -226,7 +233,17 @@ object Extras5 {
       val all = perStatus.agg(hll_union_agg(col("sk")).as("sk"))
         .select(lit("ALL").as("o_orderstatus"),
           hll_sketch_estimate(col("sk")).as("approx_custs"))
-      per.unionByName(all).orderBy("o_orderstatus")
+      val exactPer = orders.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      val exactAll = orders
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(lit("ALL").as("o_orderstatus"), col("exact_custs"))
+      per.unionByName(all)
+        .join(exactPer.unionByName(exactAll), "o_orderstatus")
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")) * 20
+            <= col("exact_custs")).as("within_5pct"))
+        .orderBy("o_orderstatus")
     }),
 
     // Hourly OHLC bars per user — the event-store downsampling idiom
@@ -346,6 +363,19 @@ object Extras5 {
   )
 
   val oracle: Map[String, String] = Map(
+    // Tolerance oracle: exact distincts reproduced in DuckDB; within_5pct
+    // is the Spark-side sketch-vs-exact bound, asserted as literal TRUE.
+    "q_agg_hll_union" ->
+      """WITH per AS (SELECT o_orderstatus,
+                             COUNT(DISTINCT o_custkey) AS exact_custs
+                      FROM orders GROUP BY 1),
+            al AS (SELECT 'ALL' AS o_orderstatus,
+                          COUNT(DISTINCT o_custkey) AS exact_custs
+                   FROM orders)
+         SELECT o_orderstatus, exact_custs, TRUE AS within_5pct
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ORDER BY o_orderstatus""",
+
     "q_source_partitioned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -268,13 +268,27 @@ object LlmSketches {
         .limit(5)
     }),
 
-    // HLL approximate distinct — no DuckDB oracle (estimator differs);
-    // rows-only check. The exact companion is q_agg_distinct.
+    // HLL approximate distinct with a TOLERANCE oracle (round 8): the
+    // estimate is engine-specific, so the graded emit is the EXACT
+    // distinct count plus all-integer bound verdicts — 10·|a−e| ≤ e for
+    // users (default rsd 5%) and 20·|a−e| ≤ e for events (rsd 1%) —
+    // that DuckDB asserts as literal TRUE. An estimator drifting past
+    // its bound now fails the hash compare instead of hiding behind a
+    // rows-only check. The exact side is the validation harness; at
+    // 100 TB the sketch alone is the production path (q_agg_distinct is
+    // the exact companion).
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
+        .agg(approx_count_distinct(col("user_id")).as("au"),
+          approx_count_distinct(col("event_id"), 0.01).as("ae"),
+          countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("event_id")).as("exact_events"))
+        .select(col("event_type"), col("exact_users"), col("exact_events"),
+          (abs(col("au") - col("exact_users")) * 10 <= col("exact_users"))
+            .as("users_ok"),
+          (abs(col("ae") - col("exact_events")) * 20 <= col("exact_events"))
+            .as("events_ok"))
         .orderBy("event_type"))
   )
 
@@ -322,6 +336,16 @@ object LlmSketches {
   }
 
   val oracle: Map[String, String] = Map(
+    // Tolerance oracle: exact counts reproduced in DuckDB; the _ok
+    // booleans are the Spark-side sketch-vs-exact bound, asserted as
+    // literal TRUE (see the query comment).
+    "q_agg_approx_distinct" ->
+      """SELECT event_type,
+                COUNT(DISTINCT user_id) AS exact_users,
+                COUNT(DISTINCT event_id) AS exact_events,
+                TRUE AS users_ok, TRUE AS events_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     "q_llm_dedup_minhash" -> minhashOracle,
     "q_llm_dedup_embed_lsh" ->
       s"""WITH $lshBucketCte,

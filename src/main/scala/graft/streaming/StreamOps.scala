@@ -37,8 +37,8 @@ object StreamOps {
   import Det._
 
   /** File-stream source over the events table of a fixture dir: batch
-    * read pins the raw schema (ts as parquet-ns long), the stream applies
-    * the same ns→µs conversion as Tables.events. Shared by the graded
+    * read pins the raw schema, the stream applies the same schema-driven
+    * ts normalization as Tables.events. Shared by the graded
     * live queries and the smoke gate so the glob/conversion logic cannot
     * drift between them. The require fails LOUDLY if the glob matches no
     * file (pathGlobFilter only matches leaf file names — a fixture
@@ -55,10 +55,18 @@ object StreamOps {
       s"$dir/events.parquet must be a single parquet FILE for the " +
         "pathGlobFilter file-stream source")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    spark.readStream.schema(raw.schema)
+    val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same schema-driven ts normalization as Tables.events (ns-as-long
+    // legacy layout vs µs timestamp) so batch and stream cannot drift.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Stateful streaming pays a FIXED cost per state partition per

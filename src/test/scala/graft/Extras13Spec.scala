@@ -47,10 +47,14 @@ class Extras13Spec extends QuerySuiteBase {
       s"weighted seasonal index mean $wavg != 1")
   }
 
-  test("cusum starts near v1-mean and ends near zero") {
+  test("cusum numerator telescopes to EXACTLY zero on the final row") {
     val r = q("q_ts_cusum").orderBy("dt").collect()
-    // by construction cusum_N = S_N - N*mean ≈ 0 (one rounding at 4 dp)
-    assert(math.abs(r.last.getDouble(2)) < 0.01,
-      s"final cusum ${r.last.getDouble(2)} not ~0")
+    // cusum_num_N = tn*S_N - N*T = tn*T - tn*T = 0, exact integers
+    assert(r.last.getLong(2) == 0L,
+      s"final cusum_num ${r.last.getLong(2)} != 0")
+    // first row: tn*v1 - T, reconstructable from the emitted columns
+    val tn = r.head.getLong(3)
+    val t = r.map(_.getLong(1)).sum
+    assert(r.head.getLong(2) == tn * r.head.getLong(1) - t)
   }
 }

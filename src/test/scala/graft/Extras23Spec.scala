@@ -46,10 +46,7 @@ class Extras23Spec extends QuerySuiteBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val y = BigDecimal(r.getLong(1))
-      val mean = r.getDouble(2)
-      // reconstruct the exact window sum from the emitted mean (it is
-      // s1/20 with s1 < 2^53, so the double is exact)
-      val s1 = BigDecimal(mean * 20.0)
+      val s1 = BigDecimal(r.getLong(2)) // exact 20-day window sum, cents
       val dev = 20 * y - s1
       val m2 = BigDecimal(r.getDecimal(3))
       assert(m2 >= 0)

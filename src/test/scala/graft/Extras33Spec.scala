@@ -17,11 +17,13 @@ class Extras33Spec extends QuerySuiteBase {
       assert(churned == active - retained)
       assert(r.getDouble(4) == churned.toDouble / active.toDouble)
     }
-    // the last calendar month must be excluded (no successor month)
-    val lastMonth = Tables.events(spark, sf)
-      .select(trunc(to_date(col("ts")), "month").as("m"))
-      .agg(max(col("m"))).collect()(0).getDate(0)
-    assert(!rows.map(_.getDate(0)).contains(lastMonth))
+    // the last week must be excluded (no successor week to retain into)
+    val lastWeekStart = Tables.events(spark, sf)
+      .select(expr("date_add(DATE '2020-01-06', " +
+        "cast((datediff(to_date(ts), DATE '2020-01-06') div 7) * 7 as int))")
+        .as("w"))
+      .agg(max(col("w"))).collect()(0).getDate(0)
+    assert(!rows.map(_.getDate(0)).contains(lastWeekStart))
   }
 
   test("snapshot diff: classes reconcile against the base table") {

@@ -27,18 +27,20 @@ class Extras5Spec extends QuerySuiteBase {
     assert(df.where(col("n_email") =!= 1 || col("n_phone") =!= 1).count() == 0)
   }
 
-  test("HLL sketches: estimates within 5% of exact, union ≈ global") {
+  test("HLL sketches: within-bound verdicts true, exact side verified") {
     import org.apache.spark.sql.functions._
     val exact = Tables.orders(spark, sf).groupBy("o_orderstatus")
       .agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = Tables.orders(spark, sf)
       .select(countDistinct(col("o_custkey"))).head().getLong(0)
-    q("q_agg_hll_union").collect().foreach { r =>
-      val (status, est) = (r.getString(0), r.getLong(1))
+    val rows = q("q_agg_hll_union").collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      val (status, ex, ok) = (r.getString(0), r.getLong(1), r.getBoolean(2))
       val truth = if (status == "ALL") exactAll else exact(status)
-      assert(math.abs(est - truth) <= math.max(2, 0.05 * truth),
-        s"$status: HLL estimate $est vs exact $truth")
+      assert(ex == truth, s"$status: exact_custs $ex vs recomputed $truth")
+      assert(ok, s"$status: HLL estimate strayed past 5% of $truth")
     }
   }
 

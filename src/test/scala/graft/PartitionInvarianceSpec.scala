@@ -16,11 +16,14 @@ class PartitionInvarianceSpec extends QuerySuiteBase {
   }
 
   /** percentile_approx's summary merge is not order-independent — the
-    * estimator only promises an error bound, so bit-exactness across
-    * partitionings is a stronger property than it has. (HLL's
-    * register-max merge IS order-free, so the approx-distinct query
-    * stays in the exact set.) Row counts must still be invariant. */
-  private val boundedNotExact = Set("q_agg_percentile_approx")
+    * estimator only promises an error bound. Since round 8 the query
+    * emits exact percentiles plus tolerance BOOLEANS instead of the raw
+    * estimates, so its output is partition-exact again unless the sketch
+    * drifts right across the tolerance edge between partitionings —
+    * which the generous bound (max(1.0, 2%) on a dense integer-valued
+    * column) keeps unreachable. The set stays as a mechanism for future
+    * genuinely-bounded emits. */
+  private val boundedNotExact = Set.empty[String]
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name: identical result at shuffle=4 and shuffle=7") {
