@@ -294,7 +294,22 @@ object ScaleProbe {
       // two windows + one agg over the fact; ltv_cohort is user-grain.
       "q_evt_mau_rolling" -> (d => SparkEntry.queries("q_evt_mau_rolling")(spark, d).count()),
       "q_ts_m4" -> (d => SparkEntry.queries("q_ts_m4")(spark, d).count()),
-      "q_evt_ltv_cohort" -> (d => SparkEntry.queries("q_evt_ltv_cohort")(spark, d).count())
+      "q_evt_ltv_cohort" -> (d => SparkEntry.queries("q_evt_ltv_cohort")(spark, d).count()),
+      // Round-8.1 probes (Extras33): churn is (user, week)-grain dedup +
+      // self-equi-join; dup_ngrams is one explode + groupBy over the 8×
+      // suffixed corpus (vocabulary suffix ⇒ replicas share no 5-grams,
+      // so the grouped key space grows linearly); snapshot_diff is one
+      // co-partitioned full join on the 8× remapped key space.
+      "q_evt_churn" -> (d => SparkEntry.queries("q_evt_churn")(spark, d).count()),
+      "q_llm_dup_ngrams" -> (d => SparkEntry.queries("q_llm_dup_ngrams")(spark, d).count()),
+      "q_snapshot_diff" -> (d => SparkEntry.queries("q_snapshot_diff")(spark, d).count()),
+      // Round-8.2 probes (Extras34): pii_scrub is the embarrassingly-
+      // parallel regex pass (must ride the 8× corpus flat per row);
+      // reset_cumsum shuffles once on user for both windows over 8×
+      // events; streak_weekly is (user, week)-grain like churn.
+      "q_llm_pii_scrub" -> (d => SparkEntry.queries("q_llm_pii_scrub")(spark, d).count()),
+      "q_win_reset_cumsum" -> (d => SparkEntry.queries("q_win_reset_cumsum")(spark, d).count()),
+      "q_evt_streak_weekly" -> (d => SparkEntry.queries("q_evt_streak_weekly")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes.foreach { case (name, f) =>

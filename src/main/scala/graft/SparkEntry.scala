@@ -60,7 +60,8 @@ object SparkEntry {
     (Extras30.queries, Extras30.oracle),
     (Extras31.queries, Extras31.oracle),
     (Extras32.queries, Extras32.oracle),
-    (Extras33.queries, Extras33.oracle)
+    (Extras33.queries, Extras33.oracle),
+    (Extras34.queries, Extras34.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
