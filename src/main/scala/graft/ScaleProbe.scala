@@ -307,7 +307,7 @@ object ScaleProbe {
       // parallel regex pass (must ride the 8× corpus flat per row);
       // reset_cumsum shuffles once on user for both windows over 8×
       // events; streak_weekly is (user, week)-grain like churn.
-      "q_llm_pii_scrub" -> (d => SparkEntry.queries("q_llm_pii_scrub")(spark, d).count()),
+      "q_llm_pii_audit" -> (d => SparkEntry.queries("q_llm_pii_audit")(spark, d).count()),
       "q_win_reset_cumsum" -> (d => SparkEntry.queries("q_win_reset_cumsum")(spark, d).count()),
       "q_evt_streak_weekly" -> (d => SparkEntry.queries("q_evt_streak_weekly")(spark, d).count())
     )

@@ -46,7 +46,7 @@ object Extras34 {
     // exact integer; the scan is one corpus pass (regex per row, no
     // shuffle beyond the per-source aggregate) — at 100 TB this is the
     // embarrassingly-parallel map stage it should be.
-    "q_llm_pii_scrub" -> ((s, d) => {
+    "q_llm_pii_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("t", piiText)
       docs
         .select(col("source"),
@@ -197,7 +197,7 @@ object Extras34 {
 
   val oracle: Map[String, String] = Map(
 
-    "q_llm_pii_scrub" -> s"""
+    "q_llm_pii_audit" -> s"""
       WITH aug AS (SELECT source,
              text
                || CASE WHEN doc_id % 7 = 0

@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 class Extras34Spec extends QuerySuiteBase {
-  Seq("q_llm_pii_scrub", "q_agg_entropy", "q_source_bloom",
+  Seq("q_llm_pii_audit", "q_agg_entropy", "q_source_bloom",
     "q_evt_streak_weekly", "q_ts_wma", "q_win_reset_cumsum")
     .foreach(checkDeclared(_))
 
   test("pii scrub: injected PII is found and fully redacted") {
-    val rows = q("q_llm_pii_scrub").collect()
+    val rows = q("q_llm_pii_audit").collect()
     val (docs, de, dp, he, hp, delta) = rows.foldLeft((0L, 0L, 0L, 0L, 0L, 0L)) {
       case ((a, b, c, x, y, z), r) =>
         (a + r.getLong(1), b + r.getLong(2), c + r.getLong(3),
