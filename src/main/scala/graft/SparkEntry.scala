@@ -62,7 +62,8 @@ object SparkEntry {
     (Extras32.queries, Extras32.oracle),
     (Extras33.queries, Extras33.oracle),
     (Extras34.queries, Extras34.oracle),
-    (Extras35.queries, Extras35.oracle)
+    (Extras35.queries, Extras35.oracle),
+    (Extras36.queries, Extras36.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
