@@ -46,7 +46,11 @@ object PlanDump {
     "q_merge_upsert" -> "MERGE/upsert: one full-outer sort-merge join on the merge key, action derived per row — no second pass over either side",
     "q_llm_colloc_pmi" -> "PMI collocations: zip_with bigrams (no shuffle) → one pair agg; vocabulary-sized marginal relations broadcast",
     "q_ts_interp" -> "calendar gap-fill: sequence/explode densify + forward-fill window; the daily agg is the only data-sized shuffle",
-    "q_evt_attribution" -> "last-touch attribution: unbounded-to-previous last(ignoreNulls) frame — one user_id shuffle, no self-join or as-of pass"
+    "q_evt_attribution" -> "last-touch attribution: unbounded-to-previous last(ignoreNulls) frame — one user_id shuffle, no self-join or as-of pass",
+    "q_llm_cross_dedup" -> "incremental dedup: incoming×existing posting equi-join only (no within-side pairs) — the daily-crawl-vs-corpus shape; per-doc counts ride the kernel rows",
+    "q_win_reset_cumsum" -> "session-reset running sum: sessionize + framed sum as TWO Window ops over ONE user_id Exchange+Sort — the partitioning is reused, not re-shuffled",
+    "q_source_bloom" -> "bloom-filter point lookup: the probe predicate reaches the scan as PushedFilters over the bloom-indexed layout — row groups without the key never decode",
+    "q_dq_outlier_cols" -> "exact 3σ audit: one moment HashAggregate broadcast back over the scan; membership is a codegen'd integer predicate, no IEEE in the decision"
   )
 
   def main(args: Array[String]): Unit = {
