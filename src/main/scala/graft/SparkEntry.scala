@@ -63,7 +63,8 @@ object SparkEntry {
     (Extras33.queries, Extras33.oracle),
     (Extras34.queries, Extras34.oracle),
     (Extras35.queries, Extras35.oracle),
-    (Extras36.queries, Extras36.oracle)
+    (Extras36.queries, Extras36.oracle),
+    (Extras37.queries, Extras37.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
