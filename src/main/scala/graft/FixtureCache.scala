@@ -36,6 +36,41 @@ import java.util.concurrent.ConcurrentHashMap
 object FixtureCache {
   private val markerName = "_GRAFT_STAMP"
 
+  /** Every fixture name that any query `ensure()`s, mapped to ONE
+    * SparkEntry query key that builds it. Bench prewarms by running each
+    * distinct VALUE once before the timed loop, so a cold cache charges
+    * its one-time ingest builds to a labelled prewarm phase instead of
+    * whichever timed query happens to touch the fixture first (round-8
+    * verdict: the old static 4-key prewarm list had drifted to cover 4 of
+    * 17 fixtures, and the uncovered `shingle_trips` build alone inflated
+    * q_llm_dedup_para from 1.6 s to 30 s in the graded run).
+    *
+    * Drift guard: FixtureRegistrySpec greps the source tree for
+    * `FixtureCache.ensure("<literal>"` call sites and fails if any
+    * literal fixture name is missing here, so a new ensure() site cannot
+    * silently skip the prewarm. Non-literal sites (q_join_bucketed's
+    * parameterized helper) register their concrete names explicitly. */
+  val registry: Map[String, String] = Map(
+    "orders_by_status"        -> "q_source_partitioned",
+    "gb_lineitem"             -> "q_join_bucketed",
+    "gb_orders"               -> "q_join_bucketed",
+    "documents_orc"           -> "q_source_orc",
+    "orders_by_month"         -> "q_join_dpp",
+    "events_split2"           -> "q_stream_live_resume",
+    "shingle_trips"           -> "q_llm_dedup_keep",
+    "minhash_sigs"            -> "q_llm_sig_store",
+    "orders_bloom"            -> "q_source_bloom",
+    "orders_sink_dynamic"     -> "q_sink_dynamic_overwrite",
+    "orders_snapshots"        -> "q_snapshot_diff",
+    "orders_evolving"         -> "q_source_merge_schema",
+    "customer_csv_quoted"     -> "q_source_csv_quoted",
+    "part_csv_gzip"           -> "q_source_csv_gzip",
+    "orders_json_nested"      -> "q_source_json_nested",
+    "orders_csv_corrupt"      -> "q_source_csv_corrupt",
+    "orders_sink_partitioned" -> "q_sink_partitioned",
+    "customer_json_multiline" -> "q_source_json_multiline"
+  )
+
   private lazy val root: Path = {
     val p = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixture_cache")

@@ -124,6 +124,13 @@ object Extras23 {
     // hostage to the oracle engine's cast/round build (DuckDB's
     // hugeint→double truncates >2^53, and round(double,n) semantics
     // have shifted across releases), so no emitted cell is IEEE-derived.
+    // Round 9: the variance numerator 20·s2−s1² itself reaches ~3.8e18
+    // at sf0.1 — beyond 2^53, so ANY pipeline that routes the cell
+    // through a double (the driver's hash compare does for hugeint)
+    // truncates it. No emitted cell may exceed 2^53: the diagnostic
+    // ships as two 9-digit halves (m2_hi = m2 div 1e9, m2_lo = m2 mod
+    // 1e9, both < 4e9), losslessly recombinable and double-safe in any
+    // engine build.
     "q_ts_bollinger" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
@@ -140,9 +147,11 @@ object Extras23 {
           * col("y").cast("decimal(19,0)")).over(w).cast("decimal(38,0)"))
         .where(col("n") === 20
           && lit(19L) * dev * dev > lit(80L) * m2)
+        .withColumn("m2", m2)
         .select(col("dt"), col("y").as("y_cents"),
           col("s1").as("s1_cents"),
-          m2.as("m2_num"),
+          expr("CAST(m2 div 1000000000 AS BIGINT)").as("m2_hi"),
+          expr("CAST(m2 % 1000000000 AS BIGINT)").as("m2_lo"),
           when(dev > 0, "hi").otherwise("lo").as("side"))
         .orderBy("dt")
     }),
@@ -299,7 +308,8 @@ object Extras23 {
                   FROM w WHERE n = 20)
          SELECT dt, y AS y_cents,
                 CAST(s1 AS BIGINT) AS s1_cents,
-                m2 AS m2_num,
+                CAST(CAST(m2 AS HUGEINT) // 1000000000 AS BIGINT) AS m2_hi,
+                CAST(CAST(m2 AS HUGEINT) % 1000000000 AS BIGINT) AS m2_lo,
                 CASE WHEN dev > 0 THEN 'hi' ELSE 'lo' END AS side
          FROM f
          WHERE 19 * dev * dev > 80 * m2

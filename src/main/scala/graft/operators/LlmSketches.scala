@@ -268,6 +268,50 @@ object LlmSketches {
         .limit(5)
     }),
 
+    // ADAPTIVE-k hyperplane LSH ANN (round-8 verdict #6): the recall
+    // audit PROVED fixed 4-plane LSH decays (top-5 recall 0.60 → 0.20 at
+    // 8× corpus density) because bucket occupancy grows with n while the
+    // probe budget stays constant. The scale path derives the plane
+    // count from the corpus: k = min(8, smallest k with n ≤ 64·2^k)
+    // — i.e. k ≈ ⌈log2(n/64)⌉, holding expected bucket size ≈ 64 at any
+    // scale — via INTEGER threshold comparisons only (no IEEE log2), so
+    // both engines pick the identical k. Planes share the fixed
+    // variant's md5 seed family (adaptive k ≤ 4 ⇒ bit-identical to
+    // q_llm_ann_lsh's buckets); probes are the standard identity +
+    // single-plane flips over the ACTIVE planes only. The whole thing
+    // stays declarative: n reaches the row expressions as a broadcast
+    // 1-row aggregate, never a driver-side collect.
+    "q_llm_ann_lsh_adaptive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), q6v(col("embedding")).as("qe"))
+      val kCol = (0 until 8)
+        .map(j => when(col("n") > (64L << j), 1).otherwise(0))
+        .reduce(_ + _)
+      val withK = emb.crossJoin(
+        broadcast(emb.agg(count(lit(1)).as("n")).select(kCol.as("k"))))
+      val planes: Seq[Column] = (0 until 8).map { j =>
+        typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000)
+          .toArray)
+      }
+      val bucket = (0 until 8).map(j =>
+        when(lit(j) < col("k") && longDot(col("qe"), planes(j)) > 0,
+          lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+      val bucketed = withK.withColumn("bkt", bucket)
+      val probes = bucketed.where(col("vec_id") === 0)
+        .select(col("qe").as("qv"), col("bkt"), col("k"),
+          explode(array(lit(0) +:
+            (0 until 8).map(j => when(lit(j) < col("k"), lit(1 << j))): _*))
+            .as("m"))
+        .where(col("m").isNotNull) // masks of inactive planes explode as null
+        .select(col("qv"), col("bkt").bitwiseXOR(col("m")).as("pb"))
+      bucketed.where(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bkt") === col("pb"))
+        .select(col("vec_id"), col("k"), col("bkt"),
+          (longDot(col("qe"), col("qv")).cast("double") / 1e12).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // HLL approximate distinct with a TOLERANCE oracle (round 8): the
     // estimate is engine-specific, so the graded emit is the EXACT
     // distinct count plus all-integer bound verdicts — 10·|a−e| ≤ e for
@@ -410,6 +454,53 @@ object LlmSketches {
             ps AS (SELECT vec_id, bkt, SUM(e[i] * q0e[i]) AS dot
                    FROM pu GROUP BY vec_id, bkt)
          SELECT vec_id, bkt, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
+         ORDER BY score DESC, vec_id LIMIT 5""",
+    // Adaptive-k twin: same pipeline with an 8-plane seed family gated by
+    // the integer-threshold k (smallest k with n ≤ 64·2^k, capped at 8)
+    // — the corpus-count CTE reproduces Spark's broadcast 1-row agg.
+    "q_llm_ann_lsh_adaptive" ->
+      """WITH qv AS (SELECT vec_id,
+                            list_transform(embedding, x ->
+                              CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+                     FROM embeddings),
+            nk AS (SELECT (CASE WHEN cnt > 64 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 128 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 256 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 512 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 1024 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 2048 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 4096 THEN 1 ELSE 0 END)
+                        + (CASE WHEN cnt > 8192 THEN 1 ELSE 0 END) AS k
+                   FROM (SELECT COUNT(*) AS cnt FROM embeddings)),
+            pl AS (SELECT j, i,
+                          CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15))
+                               AS BIGINT) % 2001 - 1000 AS hv
+                   FROM generate_series(0, 7) g(j), generate_series(0, 63) h(i)),
+            dots AS (SELECT vec_id, j, SUM(qe[i + 1] * hv) AS dt
+                     FROM qv, pl GROUP BY vec_id, j),
+            bk AS (SELECT vec_id,
+                          CAST(SUM(CASE WHEN j < (SELECT k FROM nk) AND dt > 0
+                                   THEN (1::BIGINT << j) ELSE 0 END) AS INT) AS bkt
+                   FROM dots GROUP BY vec_id),
+            qb AS (SELECT bkt AS qbkt FROM bk WHERE vec_id = 0),
+            pr AS (SELECT CAST(xor(qbkt, m) AS INT) AS pb
+                   FROM qb, (SELECT 0 AS m
+                             UNION ALL
+                             SELECT (1 << j) FROM generate_series(0, 7) g(j)
+                             WHERE j < (SELECT k FROM nk)) u),
+            cand AS (SELECT b.vec_id, b.bkt FROM bk b
+                     JOIN pr ON b.bkt = pr.pb
+                     WHERE b.vec_id <> 0),
+            p AS (SELECT c.vec_id, c.bkt, v.qe AS e, q0.qe AS q0e
+                  FROM cand c
+                  JOIN qv v ON v.vec_id = c.vec_id,
+                  (SELECT qe FROM qv WHERE vec_id = 0) q0(qe)),
+            pu AS (SELECT vec_id, bkt, e, q0e,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT vec_id, bkt, SUM(e[i] * q0e[i]) AS dot
+                   FROM pu GROUP BY vec_id, bkt)
+         SELECT vec_id, (SELECT k FROM nk) AS k, bkt,
+                CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
          ORDER BY score DESC, vec_id LIMIT 5""",
     "q_llm_simhash" ->
       """WITH wh AS (SELECT doc_id,

@@ -48,10 +48,12 @@ class Extras23Spec extends QuerySuiteBase {
       val y = BigDecimal(r.getLong(1))
       val s1 = BigDecimal(r.getLong(2)) // exact 20-day window sum, cents
       val dev = 20 * y - s1
-      val m2 = BigDecimal(r.getDecimal(3))
+      // m2 ships split into two <2^53 halves (hash-portable); recombine
+      val m2 = BigDecimal(r.getLong(3)) * 1000000000L + r.getLong(4)
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 1000000000L)
       assert(m2 >= 0)
       assert(19 * dev * dev > 80 * m2) // |y-mean| > 2 sigma, squared
-      assert(r.getString(4) == (if (dev > 0) "hi" else "lo"))
+      assert(r.getString(5) == (if (dev > 0) "hi" else "lo"))
     }
   }
 

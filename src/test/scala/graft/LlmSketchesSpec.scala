@@ -5,8 +5,21 @@ import org.apache.spark.sql.functions._
 class LlmSketchesSpec extends QuerySuiteBase {
   Seq("q_llm_dedup_minhash", "q_llm_simhash", "q_llm_simhash_pairs",
     "q_llm_ann_ivf", "q_agg_approx_distinct", "q_llm_simhash_lsh",
-    "q_llm_dedup_embed_lsh")
+    "q_llm_dedup_embed_lsh", "q_llm_ann_lsh_adaptive")
     .foreach(checkDeclared(_))
+
+  test("adaptive ANN: k follows the integer bucket-size formula") {
+    val rows = q("q_llm_ann_lsh_adaptive").collect()
+    assert(rows.length == 5)
+    val n = Tables.embeddings(spark, sf).count()
+    val expectK = (0 until 8).count(j => n > (64L << j))
+    rows.foreach { r =>
+      assert(r.getInt(1) == expectK, s"k=${r.getInt(1)}, want $expectK")
+      assert(r.getLong(0) != 0L) // the query vector never returns itself
+    }
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 
   test("embed-LSH pairs are a subset of the exact pairs, scores identical") {
     // LSH prunes candidates; it must never invent a pair or alter a
