@@ -64,7 +64,8 @@ object SparkEntry {
     (Extras34.queries, Extras34.oracle),
     (Extras35.queries, Extras35.oracle),
     (Extras36.queries, Extras36.oracle),
-    (Extras37.queries, Extras37.oracle)
+    (Extras37.queries, Extras37.oracle),
+    (Extras38.queries, Extras38.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
