@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Extras39Spec extends QuerySuiteBase {
+  Seq("q_agg_topn_share", "q_ts_runs_test", "q_llm_char_stats",
+    "q_llm_char_ngrams", "q_agg_geomean", "q_llm_source_overlap")
+    .foreach(checkDeclared(_))
+
+  test("topn share: top3 <= total, share in (0,1], totals reconcile") {
+    val rows = q("q_agg_topn_share").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val truth = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).head.getLong(0)
+    assert(total == truth)
+  }
+
+  test("runs test: counts partition the non-median days, runs bounded") {
+    val r = q("q_ts_runs_test").head
+    val n1 = r.getLong(0); val n2 = r.getLong(1); val runs = r.getLong(2)
+    assert(n1 > 0 && n2 > 0)
+    assert(runs >= 2 && runs <= n1 + n2)
+    assert(!r.getDouble(3).isNaN)
+    // median split: the two halves differ by at most the dropped ties
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate"))).count().count()
+    assert(n1 + n2 <= daily)
+  }
+
+  test("char stats: classes partition the text exactly") {
+    val rows = q("q_llm_char_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, na, nd, ns, no) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(na + nd + ns + no == nc)
+      assert(Seq(na, nd, ns, no).forall(_ >= 0))
+    }
+  }
+
+  test("char ngrams: 50 rows, counts descending, grams 2 chars") {
+    val rows = q("q_llm_char_ngrams").collect()
+    assert(rows.length == 50)
+    val cs = rows.map(_.getLong(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getString(0).length == 2))
+  }
+
+  test("geomean: between min and max order value, micro-log sane") {
+    val rows = q("q_agg_geomean").collect()
+    assert(rows.nonEmpty)
+    val mm = Tables.orders(spark, sf)
+      .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
+    rows.foreach { r =>
+      val gm = r.getDouble(3)
+      assert(gm >= mm.getDouble(0) - 0.01 && gm <= mm.getDouble(1) + 0.01)
+      assert(r.getLong(2) > 0) // positive log sum: all orders > 1 cent
+    }
+  }
+
+  test("source overlap: full pair matrix, jaccard consistent") {
+    val rows = q("q_llm_source_overlap").collect()
+    val nSrc = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected full pair matrix for $nSrc sources")
+    rows.foreach { r =>
+      val inter = r.getLong(2); val uni = r.getLong(3)
+      assert(inter >= 1 && inter <= uni)
+      assert(math.abs(r.getDouble(4) - inter.toDouble / uni) < 1e-12)
+    }
+  }
+}
