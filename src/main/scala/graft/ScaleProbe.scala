@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(8)
+    // Optional probe-name filter (exact keys after K) — the full sweep is
+    // ~100 probes × two timed runs; per-round additions re-probe only
+    // their own keys and append to BASELINE.md like every prior chunk.
+    val only = args.drop(1).toSet
     val sf = "/root/testdata/sf0.1"
     val out = s"/tmp/graft-scale-x$k"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -330,11 +334,14 @@ object ScaleProbe {
       "q_llm_sig_store#warm" -> (d => SparkEntry.queries("q_llm_sig_store")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
-    probes.foreach { case (name, f) =>
-      val (t1, n1) = time(f(sf))
-      val (tk, nk) = time(f(out))
-      println(f"$name%-22s $t1%8.2f $n1%9d $tk%8.2f $nk%9d ${tk / t1}%6.2f")
-    }
+    probes
+      .filter { case (name, _) =>
+        only.isEmpty || only(name) || only(name.stripSuffix("#warm")) }
+      .foreach { case (name, f) =>
+        val (t1, n1) = time(f(sf))
+        val (tk, nk) = time(f(out))
+        println(f"$name%-22s $t1%8.2f $n1%9d $tk%8.2f $nk%9d ${tk / t1}%6.2f")
+      }
 
     // ANN recall vs the brute-force exact top-5 (round-6 advice #6): the
     // LSH/IVF queries trade recall for pruning; measure the trade at 1×
@@ -356,7 +363,8 @@ object ScaleProbe {
       SparkEntry.queries(key)(spark, d)
         .select("vec_id").collect().map(_.getLong(0)).toSet
     for (key <- Seq("q_llm_ann_lsh", "q_llm_ann_lsh_adaptive",
-                    "q_llm_ann_ivf")) {
+                    "q_llm_ann_ivf")
+         if only.isEmpty || only(key)) {
       val r1 = (annTop5(key, sf) & bruteTop5(sf)).size / 5.0
       val rk = (annTop5(key, out) & bruteTop5(out)).size / 5.0
       println(f"recall $key%-18s 1x=$r1%4.2f ${k}x=$rk%4.2f (top-5 vs brute force)")

@@ -68,7 +68,8 @@ object SparkEntry {
     (Extras38.queries, Extras38.oracle),
     (Extras39.queries, Extras39.oracle),
     (Extras40.queries, Extras40.oracle),
-    (Extras41.queries, Extras41.oracle)
+    (Extras41.queries, Extras41.oracle),
+    (Extras42.queries, Extras42.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
