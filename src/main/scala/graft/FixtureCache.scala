@@ -68,7 +68,10 @@ object FixtureCache {
     "orders_json_nested"      -> "q_source_json_nested",
     "orders_csv_corrupt"      -> "q_source_csv_corrupt",
     "orders_sink_partitioned" -> "q_sink_partitioned",
-    "customer_json_multiline" -> "q_source_json_multiline"
+    "customer_json_multiline" -> "q_source_json_multiline",
+    "orders_manifest"         -> "q_layout_manifest",
+    "orders_smallfiles"       -> "q_layout_compaction",
+    "orders_compacted"        -> "q_layout_compaction"
   )
 
   private lazy val root: Path = {

@@ -34,6 +34,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm
 
+    // SPARK_GRAFT_SCALE_REUSE=1 skips the K× rebuild when the output
+    // tree already exists — probe iteration without re-replicating ~1 GB.
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      new java.io.File(s"$out/lineitem.parquet").exists()
+    if (!reuse) buildReplicas(spark, sf, out, k)
+    runProbes(spark, sf, out, k, only)
+  }
+
+  private def buildReplicas(spark: SparkSession, sf: String, out: String,
+                            k: Int): Unit = {
     def replicate(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(k).select(col("id").as("rep")))
 
@@ -44,12 +54,19 @@ object ScaleProbe {
     replicate(Tables.orders(spark, sf))
       .withColumn("o_orderkey", col("o_orderkey") * k + col("rep")).drop("rep")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    // events: new ids and users, ts shifted per replica (keeps sessions).
+    // events: new ids and users, ts shifted per replica BY MORE THAN THE
+    // SPAN (64 days vs the ~31-day event window — keeps sessions). The
+    // round-8 shift was 1 day/replica, which left replicas overlapping in
+    // calendar time: the co-occurrence graph's (hour, type) buckets then
+    // mixed users across replicas and edges grew ~60× at K=8 (measured)
+    // instead of ~K× — a K² probe artifact that exploded the two-hop
+    // candidate join's shuffle to ENOSPC. Disjoint months are the events
+    // analog of the documents per-replica vocabulary suffix.
     replicate(Tables.events(spark, sf))
       .withColumn("event_id", col("event_id") * k + col("rep"))
       .withColumn("user_id", col("user_id") * k + col("rep"))
       .withColumn("ts", timestamp_micros(unix_micros(col("ts"))
-        + col("rep") * 86400000000L))
+        + col("rep") * 64L * 86400000000L))
       .drop("rep")
       // events.parquet is read via Tables.events (nanosAsLong + div):
       // store ts back as LONG nanos to honor the raw schema.
@@ -77,8 +94,15 @@ object ScaleProbe {
     // documents: per-replica vocabulary suffix — replicas of different k
     // share NO shingles, so the planted near-dup structure replicates
     // linearly instead of every copy matching every other copy.
+    // doc_id remap is a BLOCK OFFSET (rep·2^20 + id), not id·K + rep: the
+    // interleaved form maps doc parity to REPLICA parity, which starves
+    // any odd/even corpus-split op (q_llm_cross_dedup's incoming-vs-
+    // existing probe measured 0 rows at 8× — every "incoming" replica
+    // carried a disjoint vocabulary from every "existing" one). A block
+    // offset preserves each document's own parity and intra-replica
+    // structure.
     replicate(Tables.documents(spark, sf))
-      .withColumn("doc_id", col("doc_id") * k + col("rep"))
+      .withColumn("doc_id", col("rep") * 1048576L + col("doc_id"))
       .withColumn("text",
         array_join(transform(split(col("text"), " "),
           w => concat(w, col("rep").cast("string"))), " "))
@@ -105,6 +129,11 @@ object ScaleProbe {
       Tables.load(spark, sf, t).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }
+  }
+
+  private def runProbes(spark: SparkSession, sf: String, out: String,
+                        k: Int, only: Set[String]): Unit = {
+    import org.apache.spark.sql.functions._
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -69,7 +69,8 @@ object SparkEntry {
     (Extras39.queries, Extras39.oracle),
     (Extras40.queries, Extras40.oracle),
     (Extras41.queries, Extras41.oracle),
-    (Extras42.queries, Extras42.oracle)
+    (Extras42.queries, Extras42.oracle),
+    (Extras43.queries, Extras43.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

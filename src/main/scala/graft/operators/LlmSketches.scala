@@ -276,11 +276,22 @@ object LlmSketches {
     // — i.e. k ≈ ⌈log2(n/64)⌉, holding expected bucket size ≈ 64 at any
     // scale — via INTEGER threshold comparisons only (no IEEE log2), so
     // both engines pick the identical k. Planes share the fixed
-    // variant's md5 seed family (adaptive k ≤ 4 ⇒ bit-identical to
-    // q_llm_ann_lsh's buckets); probes are the standard identity +
-    // single-plane flips over the ACTIVE planes only. The whole thing
-    // stays declarative: n reaches the row expressions as a broadcast
-    // 1-row aggregate, never a driver-side collect.
+    // variant's md5 seed family.
+    //
+    // Probing is QUERY-DIRECTED multiprobe (Lv et al.'s insight): a
+    // first draft probed identity + single flips only, and its own
+    // recall audit showed that collapses as k grows (0.40 at 1×, 0.00
+    // at 8× — the probed fraction of bucket space shrinks as (k+1)/2^k).
+    // A true neighbor lands on the wrong side of a plane with
+    // probability shrinking in the query's margin, so the right probe
+    // set is every sign combination of the query's LOWEST-|margin|
+    // planes: all 32 masks over the 5 weakest active planes (exhaustive
+    // when k ≤ 5), plus the single flips. Probe COUNT stays constant as
+    // k grows while bucket size stays ~64 — both pruning and recall are
+    // scale-stable, which the ScaleProbe recall row verifies at 8×.
+    // Everything stays declarative: n and the query's margin ranking
+    // reach the row expressions as broadcast 1-row relations, never a
+    // driver-side collect.
     "q_llm_ann_lsh_adaptive" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), q6v(col("embedding")).as("qe"))
@@ -293,17 +304,40 @@ object LlmSketches {
         typedlit((0 until 64).map(i => md5Long15(s"${j}_$i") % 2001 - 1000)
           .toArray)
       }
+      val dotsArr = array((0 until 8).map(j =>
+        when(lit(j) < col("k"), longDot(col("qe"), planes(j)))
+          .otherwise(lit(null).cast("long"))): _*)
       val bucket = (0 until 8).map(j =>
         when(lit(j) < col("k") && longDot(col("qe"), planes(j)) > 0,
           lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
       val bucketed = withK.withColumn("bkt", bucket)
-      val probes = bucketed.where(col("vec_id") === 0)
-        .select(col("qe").as("qv"), col("bkt"), col("k"),
-          explode(array(lit(0) +:
-            (0 until 8).map(j => when(lit(j) < col("k"), lit(1 << j))): _*))
-            .as("m"))
-        .where(col("m").isNotNull) // masks of inactive planes explode as null
+      val qrow = bucketed.where(col("vec_id") === 0)
+        .withColumn("dots", dotsArr)
+        // active planes ranked by |margin| asc (ties by mask — total
+        // order both engines); the 4 weakest get exhaustive sign probes
+        .withColumn("low5", expr(
+          """transform(slice(array_sort(filter(
+               transform(dots, (dd, j) ->
+                 struct(abs(dd) AS a, shiftleft(1, j) AS m)),
+               x -> x.a IS NOT NULL)), 1, 5), x -> x.m)"""))
+      val multi = qrow
+        .select(col("qe").as("qv"), col("bkt"), col("low5"),
+          explode(sequence(lit(0), lit(31))).as("sq"))
+        .select(col("qv"), col("bkt"), expr(
+          """((sq div 1) % 2) * coalesce(try_element_at(low5, 1), 0)
+           + ((sq div 2) % 2) * coalesce(try_element_at(low5, 2), 0)
+           + ((sq div 4) % 2) * coalesce(try_element_at(low5, 3), 0)
+           + ((sq div 8) % 2) * coalesce(try_element_at(low5, 4), 0)
+           + ((sq div 16) % 2) * coalesce(try_element_at(low5, 5), 0)""")
+          .as("m"))
+      val singles = qrow
+        .select(col("qe").as("qv"), col("bkt"),
+          explode(array((0 until 8).map(j =>
+            when(lit(j) < col("k"), lit(1 << j))): _*)).as("m"))
+        .where(col("m").isNotNull)
+      val probes = multi.unionByName(singles)
         .select(col("qv"), col("bkt").bitwiseXOR(col("m")).as("pb"))
+        .distinct()
       bucketed.where(col("vec_id") =!= 0)
         .join(broadcast(probes), col("bkt") === col("pb"))
         .select(col("vec_id"), col("k"), col("bkt"),
@@ -483,11 +517,21 @@ object LlmSketches {
                                    THEN (1::BIGINT << j) ELSE 0 END) AS INT) AS bkt
                    FROM dots GROUP BY vec_id),
             qb AS (SELECT bkt AS qbkt FROM bk WHERE vec_id = 0),
-            pr AS (SELECT CAST(xor(qbkt, m) AS INT) AS pb
-                   FROM qb, (SELECT 0 AS m
-                             UNION ALL
-                             SELECT (1 << j) FROM generate_series(0, 7) g(j)
-                             WHERE j < (SELECT k FROM nk)) u),
+            low5 AS (SELECT list(CAST(1::BIGINT << j AS INT)
+                       ORDER BY abs(dt), j)[1:5] AS lm
+                     FROM dots WHERE vec_id = 0
+                       AND j < (SELECT k FROM nk)),
+            masks AS (SELECT ((s // 1) % 2) * coalesce(lm[1], 0)
+                           + ((s // 2) % 2) * coalesce(lm[2], 0)
+                           + ((s // 4) % 2) * coalesce(lm[3], 0)
+                           + ((s // 8) % 2) * coalesce(lm[4], 0)
+                           + ((s // 16) % 2) * coalesce(lm[5], 0) AS m
+                      FROM low5, generate_series(0, 31) g(s)
+                      UNION
+                      SELECT (1 << j) FROM generate_series(0, 7) g(j)
+                      WHERE j < (SELECT k FROM nk)),
+            pr AS (SELECT DISTINCT CAST(xor(qbkt, m) AS INT) AS pb
+                   FROM qb, masks),
             cand AS (SELECT b.vec_id, b.bkt FROM bk b
                      JOIN pr ON b.bkt = pr.pb
                      WHERE b.vec_id <> 0),
