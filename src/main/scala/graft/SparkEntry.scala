@@ -70,7 +70,8 @@ object SparkEntry {
     (Extras40.queries, Extras40.oracle),
     (Extras41.queries, Extras41.oracle),
     (Extras42.queries, Extras42.oracle),
-    (Extras43.queries, Extras43.oracle)
+    (Extras43.queries, Extras43.oracle),
+    (Extras44.queries, Extras44.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
