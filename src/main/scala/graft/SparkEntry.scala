@@ -71,7 +71,8 @@ object SparkEntry {
     (Extras41.queries, Extras41.oracle),
     (Extras42.queries, Extras42.oracle),
     (Extras43.queries, Extras43.oracle),
-    (Extras44.queries, Extras44.oracle)
+    (Extras44.queries, Extras44.oracle),
+    (Extras45.queries, Extras45.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
