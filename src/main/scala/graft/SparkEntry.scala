@@ -72,7 +72,8 @@ object SparkEntry {
     (Extras42.queries, Extras42.oracle),
     (Extras43.queries, Extras43.oracle),
     (Extras44.queries, Extras44.oracle),
-    (Extras45.queries, Extras45.oracle)
+    (Extras45.queries, Extras45.oracle),
+    (Extras46.queries, Extras46.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
