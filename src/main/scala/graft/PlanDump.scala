@@ -50,7 +50,13 @@ object PlanDump {
     "q_llm_cross_dedup" -> "incremental dedup: incoming×existing posting equi-join only (no within-side pairs) — the daily-crawl-vs-corpus shape; per-doc counts ride the kernel rows",
     "q_win_reset_cumsum" -> "session-reset running sum: sessionize + framed sum as TWO Window ops over ONE user_id Exchange+Sort — the partitioning is reused, not re-shuffled",
     "q_source_bloom" -> "bloom-filter point lookup: the probe predicate reaches the scan as PushedFilters over the bloom-indexed layout — row groups without the key never decode",
-    "q_dq_outlier_cols" -> "exact 3σ audit: one moment HashAggregate broadcast back over the scan; membership is a codegen'd integer predicate, no IEEE in the decision"
+    "q_dq_outlier_cols" -> "exact 3σ audit: one moment HashAggregate broadcast back over the scan; membership is a codegen'd integer predicate, no IEEE in the decision",
+    "q_llm_ann_lsh_adaptive" -> "adaptive-k multiprobe ANN: corpus-scaled plane count (broadcast 1-row n), query-directed 32-mask probe set over the 5 weakest margins — probe budget constant at any k, corpus never shuffled",
+    "q_layout_zonemap" -> "zone-map audit: two fact groupBys → zone-count-sized stat relations; the min/max intersect predicate is the per-block skipping argument made measurable",
+    "q_evt_basket_pairs" -> "market-basket lift: pair join rides the (order, brand) relation — candidates bounded by orders×C(brands/order,2); marginals broadcast; exact integer micro-lift ranking",
+    "q_ts_lttb" -> "LTTB downsampling: zone stats broadcast both ways (wid±1), per-bucket argmax on an exact integer cross product — one window pass over the calendar spine",
+    "q_llm_ppl_buckets" -> "CCNet perplexity terciles: vocabulary-sized count relations broadcast under the doc agg; the global ntile rides the document grain (distributed-quantile cut at 100 TB)",
+    "q_agg_spearman" -> "Spearman rank corr: customer-grain ranking windows (dimension-sized), all five moment sums one BIGINT HashAggregate, rho one IEEE tail"
   )
 
   def main(args: Array[String]): Unit = {
