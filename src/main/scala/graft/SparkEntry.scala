@@ -74,7 +74,8 @@ object SparkEntry {
     (Extras44.queries, Extras44.oracle),
     (Extras45.queries, Extras45.oracle),
     (Extras46.queries, Extras46.oracle),
-    (Extras47.queries, Extras47.oracle)
+    (Extras47.queries, Extras47.oracle),
+    (Extras48.queries, Extras48.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
