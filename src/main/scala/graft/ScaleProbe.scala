@@ -360,7 +360,26 @@ object ScaleProbe {
       "q_evt_lifecycle" -> (d => SparkEntry.queries("q_evt_lifecycle")(spark, d).count()),
       "q_join_asof_fwd" -> (d => SparkEntry.queries("q_join_asof_fwd")(spark, d).count()),
       "q_llm_sig_store" -> (d => SparkEntry.queries("q_llm_sig_store")(spark, d).count()),
-      "q_llm_sig_store#warm" -> (d => SparkEntry.queries("q_llm_sig_store")(spark, d).count())
+      "q_llm_sig_store#warm" -> (d => SparkEntry.queries("q_llm_sig_store")(spark, d).count()),
+      // Round-9 operator probes (Extras41-48): basket_pairs and
+      // type_affinity are pair joins whose candidates are bounded by
+      // per-key alphabet sizes; adamic_adar shares the Σ deg² shape;
+      // containment/rouge ride the posting kernel; bloom_prefilter's
+      // filter build is corpus-sized but its words relation is constant;
+      // char_ngrams is a per-row projection + bounded agg; hurst/lttb
+      // are calendar-spine window stages.
+      "q_evt_basket_pairs" -> (d => SparkEntry.queries("q_evt_basket_pairs")(spark, d).count()),
+      "q_evt_type_affinity" -> (d => SparkEntry.queries("q_evt_type_affinity")(spark, d).count()),
+      "q_graph_adamic_adar" -> (d => SparkEntry.queries("q_graph_adamic_adar")(spark, d).count()),
+      "q_llm_containment" -> (d => SparkEntry.queries("q_llm_containment")(spark, d).count()),
+      "q_llm_rouge_overlap" -> (d => SparkEntry.queries("q_llm_rouge_overlap")(spark, d).count()),
+      "q_llm_dedup_bloom_prefilter" -> (d => SparkEntry.queries("q_llm_dedup_bloom_prefilter")(spark, d).count()),
+      "q_llm_lm_holdout" -> (d => SparkEntry.queries("q_llm_lm_holdout")(spark, d).count()),
+      "q_llm_char_ngrams" -> (d => SparkEntry.queries("q_llm_char_ngrams")(spark, d).count()),
+      "q_ts_hurst" -> (d => SparkEntry.queries("q_ts_hurst")(spark, d).count()),
+      "q_ts_lttb" -> (d => SparkEntry.queries("q_ts_lttb")(spark, d).count()),
+      "q_llm_ppl_buckets" -> (d => SparkEntry.queries("q_llm_ppl_buckets")(spark, d).count()),
+      "q_agg_spearman" -> (d => SparkEntry.queries("q_agg_spearman")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
