@@ -71,7 +71,9 @@ object FixtureCache {
     "customer_json_multiline" -> "q_source_json_multiline",
     "orders_manifest"         -> "q_layout_manifest",
     "orders_smallfiles"       -> "q_layout_compaction",
-    "orders_compacted"        -> "q_layout_compaction"
+    "orders_compacted"        -> "q_layout_compaction",
+    "orders_mor_base"         -> "q_scan_merge_on_read",
+    "orders_mor_delta"        -> "q_scan_merge_on_read"
   )
 
   private lazy val root: Path = {

@@ -77,7 +77,8 @@ object SparkEntry {
     (Extras47.queries, Extras47.oracle),
     (Extras48.queries, Extras48.oracle),
     (Extras49.queries, Extras49.oracle),
-    (Extras50.queries, Extras50.oracle)
+    (Extras50.queries, Extras50.oracle),
+    (Extras51.queries, Extras51.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
