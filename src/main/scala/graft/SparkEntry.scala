@@ -78,7 +78,8 @@ object SparkEntry {
     (Extras48.queries, Extras48.oracle),
     (Extras49.queries, Extras49.oracle),
     (Extras50.queries, Extras50.oracle),
-    (Extras51.queries, Extras51.oracle)
+    (Extras51.queries, Extras51.oracle),
+    (Extras52.queries, Extras52.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

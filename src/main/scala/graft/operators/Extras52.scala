@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Tables}
+
+/** Round-9 additions, part 15: LSH candidate-set evaluation (the IR
+  * precision/recall audit of the banding scheme itself), global graph
+  * transitivity, the corpus dedup summary card, and the Hill tail-index
+  * estimator.
+  *
+  * Determinism contract (SURVEY §2.13): set intersections and counts
+  * are exact integers; Hill's log terms quantize to micro-units before
+  * the order-free sum.
+  */
+object Extras52 {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LSH CANDIDATE EVALUATION — precision/recall of the MinHash
+    // 4×4-band CANDIDATE set against the exact Jaccard-0.6 ground
+    // truth (before verification): recall < 1 is what banding silently
+    // loses; precision is how much verification work is wasted. The
+    // exact side is the posting-kernel pair set (planted-structure-
+    // bounded); both sides and the intersection are exact integer
+    // counts, the two ratios one shared IEEE chain each.
+    "q_llm_lsh_eval" -> ((s, d) => {
+      val p = 2147483647L
+      val rows = LlmOps.shingleTrips(s, d)
+      val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
+      val minCols = (0 until 16).map(j =>
+        min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
+      val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws(",", (0 until 4).map(r =>
+            col(s"mh${b * 4 + r}").cast("string")): _*).as("bk")))
+      val cand = sig.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+        .as("x").join(
+          sig.select(col("doc_id"),
+            explode(array(bandStructs: _*)).as("x"))
+            .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+            .as("y"),
+          col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      ne.crossJoin(broadcast(nc)).crossJoin(broadcast(tp))
+        .select(col("n_exact"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_exact") - col("tp")).as("fn"),
+          r6(col("tp").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          r6(col("tp").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
+    // GLOBAL TRANSITIVITY — 3·triangles/wedges over the co-occurrence
+    // graph (the corpus-level companion of the per-node clustering
+    // coefficient): triangles via the a<b<c edge-edge-semi join (never
+    // |V|³), wedges from the exact degree moment Σ deg·(deg−1).
+    "q_graph_transitivity" -> ((s, d) => {
+      val und = Extras11.undirectedEdges(s, d) // (a < b) canonical edges
+      val tri = und.as("x")
+        .join(und.as("y"), col("x.b") === col("y.a"))
+        .join(und.as("z"),
+          col("z.a") === col("x.a") && col("z.b") === col("y.b"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_tri"))
+      val e = und.select(col("a").as("u"))
+        .unionByName(und.select(col("b").as("u")))
+      val wedges = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1)).as("wedges2"),
+          count(lit(1)).as("n_nodes"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_tri"), col("wedges2"), col("n_nodes"),
+          r6(col("n_tri").cast("double") * 6.0
+            / col("wedges2").cast("double")).as("transitivity"))
+    }),
+
+    // DEDUP SUMMARY CARD — the one-row corpus dedup accounting every
+    // dataset card carries: exact-hash family surplus, near-dup pair
+    // count, near-dup component surplus (docs a keep-one policy would
+    // drop), and the component count — all from the shared exact/near
+    // kernels, all exact integers.
+    "q_llm_dedup_card" -> ((s, d) => {
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val exactExtra = LlmOps.queries("q_llm_dedup_exact")(s, d)
+        .agg(sum(col("n_copies") - 1).as("exact_surplus"))
+      val nearPairs = LlmOps.queries("q_llm_dedup_near")(s, d)
+        .agg(count(lit(1)).as("near_pairs"))
+      val comp = LlmOps.queries("q_llm_dedup_clusters")(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("near_components"),
+          sum(col("sz") - 1).as("near_surplus"))
+      nDocs.crossJoin(broadcast(exactExtra))
+        .crossJoin(broadcast(nearPairs))
+        .crossJoin(broadcast(comp))
+    }),
+
+    // HILL TAIL INDEX — the classic heavy-tail estimator on absolute
+    // day-over-day revenue changes: α̂ = k / Σ_{i≤k} ln(x_i/x_{k+1})
+    // over the top k = 50 order statistics (row_number with date
+    // tie-break picks identical cells in both engines); each log term
+    // micro-quantized before the order-free sum.
+    "q_ts_tail_index" -> ((s, d) => {
+      val ord = Window.orderBy(col("dt"))
+      val deltas = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("y"))
+        .withColumn("ad", abs(col("y") - lag(col("y"), 1).over(ord)))
+        .where(col("ad").isNotNull && col("ad") > 0)
+      val ranked = deltas.withColumn("rk", row_number().over(
+        Window.orderBy(col("ad").desc, col("dt"))))
+      val thresh = ranked.where(col("rk") === 51)
+        .select(col("ad").as("x_thresh"))
+      ranked.where(col("rk") <= 50)
+        .crossJoin(broadcast(thresh))
+        .withColumn("t_micro", round(log(col("ad").cast("double")
+          / col("x_thresh").cast("double")) * 1e6).cast("long"))
+        .agg(count(lit(1)).as("k"), max(col("x_thresh")).as("x_thresh"),
+          sum(col("t_micro")).as("sum_micro"))
+        .select(col("k"), col("x_thresh"), col("sum_micro"),
+          r6(col("k").cast("double")
+            / (col("sum_micro").cast("double") / 1e6)).as("alpha_hill"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_llm_lsh_eval" -> {
+      val mins = (0 until 16).map(j =>
+        s"MIN(((${2 * j + 1} * h) + ${12345 * j}) % 2147483647) AS mh$j")
+        .mkString(",\n                           ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS b, mh${4 * b}::VARCHAR || ',' || " +
+          s"mh${4 * b + 1}::VARCHAR || ',' || mh${4 * b + 2}::VARCHAR " +
+          s"|| ',' || mh${4 * b + 3}::VARCHAR AS bk FROM sig")
+        .mkString("\n                      UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            hm AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+                   FROM sh),
+            sig AS (SELECT doc_id,
+                           $mins
+                    FROM hm GROUP BY doc_id),
+            bands AS ($bandRows),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.bk = b.bk
+                          AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            exact AS (SELECT doc_a, doc_b FROM pairs
+                      JOIN cnt ca ON ca.doc_id = doc_a
+                      JOIN cnt cb ON cb.doc_id = doc_b
+                      WHERE CAST(inter AS DOUBLE)
+                            / (ca.nsh + cb.nsh - inter) >= 0.6),
+            m AS (SELECT
+                    (SELECT COUNT(*) FROM exact) AS n_exact,
+                    (SELECT COUNT(*) FROM cand) AS n_cand,
+                    (SELECT COUNT(*) FROM cand c
+                     WHERE EXISTS (SELECT 1 FROM exact e
+                       WHERE e.doc_a = c.doc_a AND e.doc_b = c.doc_b))
+                      AS tp)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+                CAST(n_cand AS BIGINT) AS n_cand,
+                CAST(tp AS BIGINT) AS tp,
+                CAST(n_cand - tp AS BIGINT) AS fp,
+                CAST(n_exact - tp AS BIGINT) AS fn,
+                round(CAST(tp AS DOUBLE) / n_cand, 6) AS precision,
+                round(CAST(tp AS DOUBLE) / n_exact, 6) AS recall
+         FROM m"""
+    },
+
+    "q_graph_transitivity" ->
+      s"""WITH ${Extras11.GraphSql},
+            tri AS (SELECT COUNT(*) AS n_tri
+                    FROM und x JOIN und y ON x.b = y.a
+                    WHERE EXISTS (SELECT 1 FROM und z
+                      WHERE z.a = x.a AND z.b = y.b)),
+            deg AS (SELECT u, COUNT(*) AS deg FROM (
+                      SELECT a AS u FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY 1),
+            wd AS (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedges2,
+                          CAST(COUNT(*) AS BIGINT) AS n_nodes
+                   FROM deg)
+         SELECT CAST(n_tri AS BIGINT) AS n_tri, wedges2, n_nodes,
+                round(CAST(n_tri AS DOUBLE) * 6.0
+                  / CAST(wedges2 AS DOUBLE), 6) AS transitivity
+         FROM tri, wd""",
+
+    "q_llm_dedup_card" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents),
+            ex AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS exact_surplus
+                   FROM (SELECT COUNT(*) AS n FROM documents
+                         GROUP BY md5(lower(trim(text))))),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            np AS (SELECT doc_a, doc_b FROM pairs
+                   JOIN cnt ca ON ca.doc_id = doc_a
+                   JOIN cnt cb ON cb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE)
+                         / (ca.nsh + cb.nsh - inter) >= 0.6),
+            npc AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_pairs FROM np),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+                      UNION SELECT doc_b, doc_a FROM np),
+            comp AS (WITH RECURSIVE cc(id, lbl) AS (
+                       SELECT DISTINCT a, a FROM edges
+                       UNION
+                       SELECT e.a, LEAST(cc.lbl, e.b)
+                       FROM cc JOIN edges e ON e.b = cc.id)
+                     SELECT id, MIN(lbl) AS lbl FROM cc GROUP BY id),
+            cs AS (SELECT lbl, COUNT(*) AS sz FROM comp GROUP BY lbl),
+            cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS near_components,
+                          CAST(SUM(sz - 1) AS BIGINT) AS near_surplus
+                   FROM cs)
+         SELECT n_docs, exact_surplus, near_pairs, near_components,
+                near_surplus
+         FROM nd, ex, npc, cm""",
+
+    "q_ts_tail_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS y
+                 FROM orders GROUP BY 1),
+            de AS (SELECT dt, abs(y - lag(y, 1) OVER (ORDER BY dt)) AS ad
+                   FROM daily),
+            dd AS (SELECT dt, CAST(ad AS BIGINT) AS ad FROM de
+                   WHERE ad IS NOT NULL AND ad > 0),
+            r AS (SELECT ad,
+                    row_number() OVER (ORDER BY ad DESC, dt) AS rk
+                  FROM dd),
+            th AS (SELECT ad AS x_thresh FROM r WHERE rk = 51),
+            t AS (SELECT r.ad, th.x_thresh,
+                    CAST(round(ln(CAST(r.ad AS DOUBLE)
+                      / CAST(th.x_thresh AS DOUBLE)) * 1e6) AS BIGINT)
+                      AS t_micro
+                  FROM r, th WHERE rk <= 50)
+         SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                MAX(x_thresh) AS x_thresh,
+                CAST(SUM(t_micro) AS BIGINT) AS sum_micro,
+                round(CAST(COUNT(*) AS DOUBLE)
+                  / (CAST(SUM(t_micro) AS DOUBLE) / 1e6), 6)
+                  AS alpha_hill
+         FROM t"""
+  )
+}
