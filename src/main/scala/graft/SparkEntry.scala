@@ -79,7 +79,8 @@ object SparkEntry {
     (Extras49.queries, Extras49.oracle),
     (Extras50.queries, Extras50.oracle),
     (Extras51.queries, Extras51.oracle),
-    (Extras52.queries, Extras52.oracle)
+    (Extras52.queries, Extras52.oracle),
+    (Extras53.queries, Extras53.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
