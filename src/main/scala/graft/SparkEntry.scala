@@ -81,7 +81,8 @@ object SparkEntry {
     (Extras51.queries, Extras51.oracle),
     (Extras52.queries, Extras52.oracle),
     (Extras53.queries, Extras53.oracle),
-    (Extras54.queries, Extras54.oracle)
+    (Extras54.queries, Extras54.oracle),
+    (Extras55.queries, Extras55.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

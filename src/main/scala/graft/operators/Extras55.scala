@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Tables}
+
+/** Round-9 additions, part 18: the two-sample log-rank test on the
+  * repeat-purchase survival curves, the MinHash banding-parameter
+  * trade-off study, and natural (human) sort keys.
+  *
+  * Determinism contract (SURVEY §2.13): risk sets per group are exact
+  * integer cumsums; each event time's expectation/variance terms
+  * micro-quantize before the order-free sums; banding memberships are
+  * string-equality joins on exact signatures.
+  */
+object Extras55 {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LOG-RANK TEST — do BUILDING-segment customers repeat-purchase at
+    // a different rate than the rest? The two-sample survival
+    // comparison over the q_evt_survival duration machinery: per event
+    // time, observed group-1 events vs the hypergeometric expectation
+    // E₁ = d·n₁/n and variance V = d·(n₁/n)(n₂/n)(n−d)/(n−1), each
+    // micro-quantized before the sums; Z is the one IEEE tail. The
+    // duration spine is bounded; the segment comes from the broadcast
+    // customer dimension.
+    "q_evt_logrank" -> ((s, d) => {
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("g1"))
+      val byCust = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("dt"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("dt"), col("o_orderkey"))))
+      val firstTwo = byCust.where(col("rn") <= 2)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("dt")).as("d1"),
+          max(when(col("rn") === 2, col("dt"))).as("d2"))
+      val maxDate = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("dmax"))
+      val durations = firstTwo.crossJoin(broadcast(maxDate))
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("dmax"), col("d1"))).cast("long")
+            .as("dur"),
+          col("d2").isNotNull.as("is_event"), col("g1"))
+      val byDur = durations.groupBy(col("dur"))
+        .agg(sum(when(col("is_event") && col("g1"), 1L).otherwise(0L))
+          .as("d1e"),
+          sum(when(col("is_event") && !col("g1"), 1L).otherwise(0L))
+            .as("d2e"),
+          sum(when(!col("is_event") && col("g1"), 1L).otherwise(0L))
+            .as("c1e"),
+          sum(when(!col("is_event") && !col("g1"), 1L).otherwise(0L))
+            .as("c2e"))
+      val tot = durations.agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("nt1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("nt2"))
+      val prevw = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val terms = byDur.crossJoin(broadcast(tot))
+        .withColumn("rm1",
+          coalesce(sum(col("d1e") + col("c1e")).over(prevw), lit(0L)))
+        .withColumn("rm2",
+          coalesce(sum(col("d2e") + col("c2e")).over(prevw), lit(0L)))
+        .withColumn("n1", col("nt1") - col("rm1"))
+        .withColumn("n2", col("nt2") - col("rm2"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("dd", col("d1e") + col("d2e"))
+        .where(col("dd") > 0 && col("n") > 1)
+        .withColumn("e1_micro", round(col("dd").cast("double")
+          * col("n1").cast("double") / col("n").cast("double") * 1e6)
+          .cast("long"))
+        .withColumn("v_micro", round(col("dd").cast("double")
+          * col("n1").cast("double") * col("n2").cast("double")
+          * (col("n") - col("dd")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")
+            * (col("n") - 1).cast("double")) * 1e6).cast("long"))
+      terms.agg(count(lit(1)).as("n_times"),
+          sum(col("d1e") * 1000000L - col("e1_micro")).as("num_micro"),
+          sum(col("v_micro")).as("var_micro"))
+        .select(col("n_times"), col("num_micro"), col("var_micro"),
+          r6(col("num_micro").cast("double")
+            / sqrt(col("var_micro").cast("double") * 1e6)).as("z_logrank"))
+    }),
+
+    // BANDING TRADE-OFF — the (bands × rows) parameter study on the
+    // SAME 16-hash MinHash signatures: 4×4 (the production choice) vs
+    // 8×2 (more permissive). For each, candidate count and
+    // precision/recall against the exact Jaccard-0.6 truth — the
+    // S-curve trade measured, not argued. All counts exact; both
+    // configs share one signature pass.
+    "q_llm_banding_tradeoff" -> ((s, d) => {
+      val p = 2147483647L
+      val rows = LlmOps.shingleTrips(s, d)
+      val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
+      val minCols = (0 until 16).map(j =>
+        min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
+      val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      def candidates(nBands: Int, rPer: Int): DataFrame = {
+        val bandStructs = (0 until nBands).map(b =>
+          struct(lit(b).as("b"),
+            concat_ws(",", (0 until rPer).map(r =>
+              col(s"mh${b * rPer + r}").cast("string")): _*).as("bk")))
+        val bands = sig.select(col("doc_id"),
+            explode(array(bandStructs: _*)).as("x"))
+          .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+        bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bk") === col("y.bk")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      }
+      val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      def eval(tag: String, nBands: Int, rPer: Int): DataFrame = {
+        val cand = candidates(nBands, rPer)
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        nc.crossJoin(broadcast(tp)).crossJoin(broadcast(ne))
+          .select(lit(tag).as("config"), col("n_cand"), col("tp"),
+            col("n_exact"),
+            r6(col("tp").cast("double") / col("n_cand").cast("double"))
+              .as("precision"),
+            r6(col("tp").cast("double") / col("n_exact").cast("double"))
+              .as("recall"))
+      }
+      eval("b4r4", 4, 4).unionByName(eval("b8r2", 8, 2)).orderBy("config")
+    }),
+
+    // NATURAL SORT — the human ordering ("item2" before "item10"):
+    // every digit run is left-padded to width 8, making
+    // lexicographic order equal numeric-aware order. Pure codegen'd
+    // regexp; the emitted rank is a window over the (bounded) slice.
+    "q_fn_natural_sort" -> ((s, d) => {
+      val key = regexp_replace(col("p_name"), "(\\d+)", "0000000$1")
+      val key2 = regexp_replace(key, "0*(\\d{8})", "$1")
+      Tables.part(s, d)
+        .where(col("p_partkey") <= 40)
+        .select(col("p_partkey"), col("p_name"), key2.as("nat_key"))
+        .withColumn("nat_rank",
+          row_number().over(Window.orderBy(col("nat_key"),
+            col("p_partkey"))).cast("long"))
+        .orderBy("nat_rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_evt_logrank" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+                    o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                      AS rn
+                 FROM orders),
+            ft AS (SELECT o_custkey, MIN(dt) AS d1,
+                     MAX(CASE WHEN rn = 2 THEN dt END) AS d2
+                   FROM o WHERE rn <= 2 GROUP BY o_custkey),
+            mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax
+                   FROM orders),
+            dur AS (SELECT CAST(CASE WHEN d2 IS NOT NULL THEN d2 - d1
+                            ELSE dmax - d1 END AS BIGINT) AS dur,
+                      d2 IS NOT NULL AS is_event,
+                      c.c_mktsegment = 'BUILDING' AS g1
+                    FROM ft
+                    JOIN customer c ON c.c_custkey = ft.o_custkey, mx),
+            bd AS (SELECT dur,
+                     CAST(SUM(CASE WHEN is_event AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS d1e,
+                     CAST(SUM(CASE WHEN is_event AND NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS d2e,
+                     CAST(SUM(CASE WHEN NOT is_event AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1e,
+                     CAST(SUM(CASE WHEN NOT is_event AND NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS c2e
+                   FROM dur GROUP BY dur),
+            tt AS (SELECT
+                     CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nt1,
+                     CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nt2
+                   FROM dur),
+            rk AS (SELECT dur, d1e, d2e,
+                     nt1 - coalesce(SUM(d1e + c1e) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n1,
+                     nt2 - coalesce(SUM(d2e + c2e) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n2
+                   FROM bd, tt),
+            t AS (SELECT d1e, d1e + d2e AS dd, n1, n2, n1 + n2 AS n
+                  FROM rk WHERE d1e + d2e > 0 AND n1 + n2 > 1),
+            q AS (SELECT d1e, dd, n1, n2, n,
+                    CAST(round(CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS e1_micro,
+                    CAST(round(CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      * CAST(n2 AS DOUBLE)
+                      * CAST(n - dd AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n - 1 AS DOUBLE)) * 1e6) AS BIGINT)
+                      AS v_micro
+                  FROM t)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+                CAST(SUM(d1e * 1000000 - e1_micro) AS BIGINT)
+                  AS num_micro,
+                CAST(SUM(v_micro) AS BIGINT) AS var_micro,
+                round(CAST(SUM(d1e * 1000000 - e1_micro) AS DOUBLE)
+                  / sqrt(CAST(SUM(v_micro) AS DOUBLE) * 1e6), 6)
+                  AS z_logrank
+         FROM q""",
+
+    "q_llm_banding_tradeoff" -> {
+      val mins = (0 until 16).map(j =>
+        s"MIN(((${2 * j + 1} * h) + ${12345 * j}) % 2147483647) AS mh$j")
+        .mkString(",\n                           ")
+      def bandRows(nBands: Int, rPer: Int) = (0 until nBands).map { b =>
+        val key = (0 until rPer)
+          .map(r => s"mh${b * rPer + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS b, $key AS bk FROM sig"
+      }.mkString("\n                      UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            x AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            hm AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+                   FROM sh),
+            sig AS (SELECT doc_id,
+                           $mins
+                    FROM hm GROUP BY doc_id),
+            b44 AS (${bandRows(4, 4)}),
+            b82 AS (${bandRows(8, 2)}),
+            c44 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM b44 a JOIN b44 b
+                      ON a.b = b.b AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+            c82 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM b82 a JOIN b82 b
+                      ON a.b = b.b AND a.bk = b.bk
+                         AND a.doc_id < b.doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            exact AS (SELECT doc_a, doc_b FROM pairs
+                      JOIN cnt ca ON ca.doc_id = doc_a
+                      JOIN cnt cb ON cb.doc_id = doc_b
+                      WHERE CAST(inter AS DOUBLE)
+                            / (ca.nsh + cb.nsh - inter) >= 0.6),
+            m AS (SELECT 'b4r4' AS config,
+                    (SELECT COUNT(*) FROM c44) AS n_cand,
+                    (SELECT COUNT(*) FROM c44 c WHERE EXISTS
+                      (SELECT 1 FROM exact e WHERE e.doc_a = c.doc_a
+                        AND e.doc_b = c.doc_b)) AS tp,
+                    (SELECT COUNT(*) FROM exact) AS n_exact
+                  UNION ALL
+                  SELECT 'b8r2',
+                    (SELECT COUNT(*) FROM c82),
+                    (SELECT COUNT(*) FROM c82 c WHERE EXISTS
+                      (SELECT 1 FROM exact e WHERE e.doc_a = c.doc_a
+                        AND e.doc_b = c.doc_b)),
+                    (SELECT COUNT(*) FROM exact))
+         SELECT config, CAST(n_cand AS BIGINT) AS n_cand,
+                CAST(tp AS BIGINT) AS tp,
+                CAST(n_exact AS BIGINT) AS n_exact,
+                round(CAST(tp AS DOUBLE) / n_cand, 6) AS precision,
+                round(CAST(tp AS DOUBLE) / n_exact, 6) AS recall
+         FROM m ORDER BY config"""
+    },
+
+    "q_fn_natural_sort" ->
+      """WITH k AS (SELECT p_partkey, p_name,
+                    regexp_replace(regexp_replace(p_name,
+                      '(\d+)', '0000000\1', 'g'),
+                      '0*(\d{8})', '\1', 'g') AS nat_key
+                 FROM part WHERE p_partkey <= 40),
+            r AS (SELECT p_partkey, p_name, nat_key,
+                    row_number() OVER (ORDER BY nat_key, p_partkey)
+                      AS nat_rank
+                  FROM k)
+         SELECT * FROM r ORDER BY nat_rank"""
+  )
+}
