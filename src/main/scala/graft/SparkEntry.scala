@@ -82,7 +82,8 @@ object SparkEntry {
     (Extras52.queries, Extras52.oracle),
     (Extras53.queries, Extras53.oracle),
     (Extras54.queries, Extras54.oracle),
-    (Extras55.queries, Extras55.oracle)
+    (Extras55.queries, Extras55.oracle),
+    (Extras56.queries, Extras56.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

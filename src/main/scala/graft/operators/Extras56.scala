@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Tables}
+
+/** Round-9 additions, part 19: the Markov stationary distribution and
+  * directed association rules.
+  *
+  * Determinism contract (SURVEY §2.13): the power iteration runs
+  * entirely in integer micro-units with truncating division (both
+  * engines execute the identical 12 steps); rule thresholds are
+  * integer predicates.
+  */
+object Extras56 {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MARKOV STATIONARY DISTRIBUTION — where does the behavior chain
+    // settle? 12 rounds of v·P in EXACT integer micro-units over the
+    // ≤|alphabet| state vector: each edge contributes v_i·n_ij div
+    // rs_i (truncating — both engines identical), so every iterate is
+    // an integer vector and the final distribution is engine-exact.
+    // The state relation is alphabet-sized; iteration count is fixed.
+    "q_evt_markov_stationary" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          col("ts"), col("event_id"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rs", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      // chain closure: only transitions whose dst also emits stay (the
+      // chain is defined over emitting states; both engines agree)
+      val states = trans.select(col("src").as("state")).distinct()
+      val closed = trans.join(states.select(col("state").as("dst")), "dst")
+      val k = org.apache.spark.sql.expressions.Window
+        .orderBy(col("state"))
+      val init = states
+        .withColumn("rk", row_number().over(k))
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+        .select(col("state"),
+          (expr("1000000 div ns")
+            + when(col("rk") === 1, expr("1000000 % ns")).otherwise(0L))
+            .as("v"))
+      val finalV = (1 to 12).foldLeft(init) { (v, _) =>
+        v.join(closed, col("state") === col("src"))
+          .select(col("dst"), expr("v * n div rs").as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("v"))
+          .select(col("dst").as("state"), col("v"))
+      }
+      finalV
+        .select(col("state"), col("v").as("v_micro"),
+          (col("v").cast("double") / 1e6).as("pi"))
+        .orderBy("state")
+    }),
+
+    // ASSOCIATION RULES — directed brand rules a→b with support ≥ 20
+    // and confidence ≥ 10% from the (order, brand) relation: the
+    // market-basket output a recommender consumes (confidence and lift
+    // in EXACT integer micro-units; both thresholds integer
+    // predicates, so membership never touches IEEE).
+    "q_evt_basket_rules" -> ((s, d) => {
+      val ob = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val marg = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = ob.as("x").join(ob.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") =!= col("y.b"))
+        .groupBy(col("x.b").as("ante"), col("y.b").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("b").as("ante"),
+          col("nb").as("na"))), "ante")
+        .join(broadcast(marg.select(col("b").as("cons"),
+          col("nb").as("nc"))), "cons")
+        .crossJoin(broadcast(tot))
+        .where(col("n_ab") >= 20
+          && col("n_ab") * 10 >= col("na")) // confidence ≥ 0.1
+        .select(col("ante"), col("cons"), col("n_ab"), col("na"),
+          col("nc"),
+          expr("n_ab * 1000000 div na").as("conf_micro"),
+          expr("n_ab * n_orders * 1000000 div (na * nc)").as("lift_micro"))
+        .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
+        .limit(50)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_evt_markov_stationary" ->
+      """WITH e AS (SELECT user_id, event_type AS src,
+                           ts::TIMESTAMP AS t, event_id
+                 FROM events),
+            tr AS (SELECT src,
+                     lead(src, 1) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) AS dst
+                   FROM e),
+            cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+            rsrc AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rs
+                     FROM cnt GROUP BY 1),
+            states AS (SELECT DISTINCT src AS state FROM cnt),
+            closed AS (SELECT c.src, c.dst, c.n, r.rs
+                       FROM cnt c JOIN rsrc r USING (src)
+                       JOIN states s ON s.state = c.dst),
+            v0 AS (SELECT state,
+                     CAST(1000000 // (SELECT COUNT(*) FROM states)
+                       + CASE WHEN row_number() OVER (ORDER BY state) = 1
+                         THEN 1000000 % (SELECT COUNT(*) FROM states)
+                         ELSE 0 END AS BIGINT) AS v
+                   FROM states),
+            ITER_CTES
+         SELECT state, v AS v_micro, CAST(v AS DOUBLE) / 1e6 AS pi
+         FROM v12 ORDER BY state""".replace("ITER_CTES",
+        (1 to 12).map(i =>
+          s"""v$i AS (SELECT dst AS state,
+                CAST(SUM(v * n // rs) AS BIGINT) AS v
+              FROM v${i - 1} JOIN closed ON closed.src = v${i - 1}.state
+              GROUP BY dst)""").mkString(",\n            ") + "\n"),
+
+    "q_evt_basket_rules" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            marg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb
+                     FROM ob GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+                    FROM ob),
+            pairs AS (SELECT x.b AS ante, y.b AS cons,
+                             CAST(COUNT(*) AS BIGINT) AS n_ab
+                      FROM ob x JOIN ob y
+                        ON x.ok = y.ok AND x.b <> y.b
+                      GROUP BY 1, 2)
+         SELECT ante, cons, n_ab, ma.nb AS na, mc.nb AS nc,
+                CAST(n_ab * 1000000 // ma.nb AS BIGINT) AS conf_micro,
+                CAST(n_ab * n_orders * 1000000
+                     // (ma.nb * mc.nb) AS BIGINT) AS lift_micro
+         FROM pairs JOIN marg ma ON ma.b = pairs.ante
+         JOIN marg mc ON mc.b = pairs.cons, tot
+         WHERE n_ab >= 20 AND n_ab * 10 >= ma.nb
+         ORDER BY conf_micro DESC, ante, cons LIMIT 50"""
+  )
+}
