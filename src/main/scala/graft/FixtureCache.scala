@@ -73,7 +73,8 @@ object FixtureCache {
     "orders_smallfiles"       -> "q_layout_compaction",
     "orders_compacted"        -> "q_layout_compaction",
     "orders_mor_base"         -> "q_scan_merge_on_read",
-    "orders_mor_delta"        -> "q_scan_merge_on_read"
+    "orders_mor_delta"        -> "q_scan_merge_on_read",
+    "orders_tsv"              -> "q_source_tsv"
   )
 
   private lazy val root: Path = {

@@ -84,7 +84,8 @@ object SparkEntry {
     (Extras54.queries, Extras54.oracle),
     (Extras55.queries, Extras55.oracle),
     (Extras56.queries, Extras56.oracle),
-    (Extras57.queries, Extras57.oracle)
+    (Extras57.queries, Extras57.oracle),
+    (Extras58.queries, Extras58.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
