@@ -85,7 +85,8 @@ object SparkEntry {
     (Extras55.queries, Extras55.oracle),
     (Extras56.queries, Extras56.oracle),
     (Extras57.queries, Extras57.oracle),
-    (Extras58.queries, Extras58.oracle)
+    (Extras58.queries, Extras58.oracle),
+    (Extras59.queries, Extras59.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
