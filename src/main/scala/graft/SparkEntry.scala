@@ -88,7 +88,8 @@ object SparkEntry {
     (Extras58.queries, Extras58.oracle),
     (Extras59.queries, Extras59.oracle),
     (Extras60.queries, Extras60.oracle),
-    (Extras61.queries, Extras61.oracle)
+    (Extras61.queries, Extras61.oracle),
+    (Extras62.queries, Extras62.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
