@@ -379,7 +379,25 @@ object ScaleProbe {
       "q_ts_hurst" -> (d => SparkEntry.queries("q_ts_hurst")(spark, d).count()),
       "q_ts_lttb" -> (d => SparkEntry.queries("q_ts_lttb")(spark, d).count()),
       "q_llm_ppl_buckets" -> (d => SparkEntry.queries("q_llm_ppl_buckets")(spark, d).count()),
-      "q_agg_spearman" -> (d => SparkEntry.queries("q_agg_spearman")(spark, d).count())
+      "q_agg_spearman" -> (d => SparkEntry.queries("q_agg_spearman")(spark, d).count()),
+      // Round-10 probes (round-9 verdict #4 — the post-closing round-9
+      // heavyweights that shipped without ratio rows): dedup_card and
+      // dup_matrix re-run the posting/pair kernels into accounting rows;
+      // threshold_sweep and banding_tradeoff sweep integer thresholds
+      // over the SAME pair relation (one kernel pass each);
+      // basket_rules/markov_stationary/logrank are alphabet- or
+      // state-bounded folds over fact-linear aggs; pit shares the asof
+      // union-window kernel; mann_kendall's pair stage is the broadcast
+      // calendar² spine (flat ratio expected — that's the claim probed).
+      "q_llm_dedup_card" -> (d => SparkEntry.queries("q_llm_dedup_card")(spark, d).count()),
+      "q_llm_dup_matrix" -> (d => SparkEntry.queries("q_llm_dup_matrix")(spark, d).count()),
+      "q_llm_dedup_threshold_sweep" -> (d => SparkEntry.queries("q_llm_dedup_threshold_sweep")(spark, d).count()),
+      "q_llm_banding_tradeoff" -> (d => SparkEntry.queries("q_llm_banding_tradeoff")(spark, d).count()),
+      "q_evt_basket_rules" -> (d => SparkEntry.queries("q_evt_basket_rules")(spark, d).count()),
+      "q_evt_markov_stationary" -> (d => SparkEntry.queries("q_evt_markov_stationary")(spark, d).count()),
+      "q_evt_logrank" -> (d => SparkEntry.queries("q_evt_logrank")(spark, d).count()),
+      "q_join_pit" -> (d => SparkEntry.queries("q_join_pit")(spark, d).count()),
+      "q_ts_mann_kendall" -> (d => SparkEntry.queries("q_ts_mann_kendall")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

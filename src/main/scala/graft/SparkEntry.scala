@@ -89,7 +89,11 @@ object SparkEntry {
     (Extras59.queries, Extras59.oracle),
     (Extras60.queries, Extras60.oracle),
     (Extras61.queries, Extras61.oracle),
-    (Extras62.queries, Extras62.oracle)
+    (Extras62.queries, Extras62.oracle),
+    (Extras63.queries, Extras63.oracle),
+    (Extras64.queries, Extras64.oracle),
+    (Extras65.queries, Extras65.oracle),
+    (Extras66.queries, Extras66.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

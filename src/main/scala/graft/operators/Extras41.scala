@@ -199,7 +199,9 @@ object Extras41 {
         .crossJoin(broadcast(tot))
         .where(col("n_ab") >= 20)
         .withColumn("lift_micro",
-          expr("n_ab * n_orders * 1000000 div (na * nb)"))
+          expr("""CAST(CAST(n_ab AS DECIMAL(18,0)) *
+            CAST(n_orders AS DECIMAL(18,0)) * 1000000
+            div (na * nb) AS BIGINT)"""))
         .select(col("b1"), col("b2"), col("n_ab"), col("na"), col("nb"),
           col("lift_micro"),
           (col("lift_micro").cast("double") / 1e6).as("lift"))

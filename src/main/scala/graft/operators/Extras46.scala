@@ -137,7 +137,9 @@ object Extras46 {
           "t2")
         .crossJoin(broadcast(tot))
         .withColumn("lift_micro",
-          expr("n_both * n_keys * 1000000 div (n1 * n2)"))
+          expr("""CAST(CAST(n_both AS DECIMAL(18,0)) *
+            CAST(n_keys AS DECIMAL(18,0)) * 1000000
+            div (n1 * n2) AS BIGINT)"""))
         .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
           col("lift_micro"),
           (col("lift_micro").cast("double") / 1e6).as("lift"))

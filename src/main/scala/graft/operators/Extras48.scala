@@ -25,11 +25,14 @@ object Extras48 {
     // near-dup thresholds miss). Same posting-list candidate kernel as
     // q_llm_dedup_near (never all-pairs); membership is the INTEGER
     // predicate inter·10 ≥ n·8, so no IEEE value decides the emit.
+    // The equi-join key is the RAW shingle string (the q_llm_dedup_near
+    // discipline) — a 64-bit-hash key would admit collisions only the
+    // Spark side sees and break exact engine parity.
     "q_llm_containment" -> ((s, d) => {
       val trips = LlmOps.shingleTrips(s, d)
-        .select(col("doc_id"), xxhash64(col("s0")).as("h"), col("nsh"))
+        .select(col("doc_id"), col("s0"), col("nsh"))
       trips.as("a").join(trips.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"),
           min(col("a.nsh")).cast("long").as("na"),

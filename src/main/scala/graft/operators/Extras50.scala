@@ -87,7 +87,8 @@ object Extras50 {
           sum(when(col("u") && !col("h"), 1L).otherwise(0L)).as("b"),
           sum(when(!col("u") && col("h"), 1L).otherwise(0L)).as("c"),
           sum(when(!col("u") && !col("h"), 1L).otherwise(0L)).as("dd"))
-        .withColumn("or_micro", expr("a * dd * 1000000 div (b * c)"))
+        .withColumn("or_micro", expr("""CAST(CAST(a AS DECIMAL(18,0)) * CAST(dd AS DECIMAL(18,0))
+            * 1000000 div (b * c) AS BIGINT)"""))
         .select(col("a"), col("b"), col("c"), col("dd"), col("or_micro"),
           r6(log(col("a").cast("double") * col("dd").cast("double")
             / (col("b").cast("double") * col("c").cast("double"))))

@@ -84,12 +84,14 @@ object Extras53 {
     // threshold: a plateau means the planted structure is well
     // separated from background). One pass over the posting-kernel
     // pair relation; each membership is the INTEGER predicate
-    // inter·10 ≥ t·(na+nb−inter).
+    // inter·10 ≥ t·(na+nb−inter). The equi-join key is the RAW shingle
+    // string (the q_llm_dedup_near discipline) — a 64-bit-hash key
+    // would admit Spark-only collisions and break engine parity.
     "q_llm_dedup_threshold_sweep" -> ((s, d) => {
       val trips = LlmOps.shingleTrips(s, d)
-        .select(col("doc_id"), xxhash64(col("s0")).as("h"), col("nsh"))
+        .select(col("doc_id"), col("s0"), col("nsh"))
       val pairs = trips.as("a").join(trips.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"),
           min(col("a.nsh")).cast("long").as("na"),

@@ -91,7 +91,9 @@ object Extras56 {
         .select(col("ante"), col("cons"), col("n_ab"), col("na"),
           col("nc"),
           expr("n_ab * 1000000 div na").as("conf_micro"),
-          expr("n_ab * n_orders * 1000000 div (na * nc)").as("lift_micro"))
+          expr("""CAST(CAST(n_ab AS DECIMAL(18,0)) *
+            CAST(n_orders AS DECIMAL(18,0)) * 1000000
+            div (na * nc) AS BIGINT)""").as("lift_micro"))
         .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
         .limit(50)
     })

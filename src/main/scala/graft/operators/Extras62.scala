@@ -20,25 +20,32 @@ object Extras62 {
 
     // MANN-KENDALL — the distribution-free monotone-trend test on
     // daily revenue: S = Σ_{i<j} sign(y_j − y_i), an exact integer
-    // over the spine² pair relation; Var(S) = n(n−1)(2n+5)/18 with the
-    // (rare) tie correction folded exactly; Z uses the continuity
-    // correction. Pairs = C(~2400, 2) ≈ 2.9M — fixed by the calendar,
-    // not the corpus; the Theil-Sen slope op (q_ts_theil_sen) is this
-    // test's estimator sibling.
+    // over the spine² pair relation; Var(S) = (n(n−1)(2n+5) −
+    // Σ_t t(t−1)(2t+5))/18 with the tie term computed exactly from the
+    // tied-y group sizes; Z uses the continuity correction. The build
+    // side is BROADCAST (the q_ts_theil_sen precedent): the daily spine
+    // is calendar-bounded (~2.4k rows/decade), so the pair relation is
+    // a BroadcastNestedLoopJoin of constant size at any data volume —
+    // never a shuffled theta join.
     "q_ts_mann_kendall" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
         .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("y"))
         .withColumn("rn", row_number().over(Window.orderBy(col("dt"))))
-      val pairs = daily.as("a").join(daily.as("b"),
+      val pairs = daily.as("a").join(broadcast(daily.as("b")),
           col("a.rn") < col("b.rn"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"),
           sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L))
             .as("n_tie_pairs"))
-      val n = daily.agg(count(lit(1)).as("n"))
+      // exact tie correction: Σ over tied-y groups of t(t−1)(2t+5)
+      val n = daily
+        .groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t")).as("n"),
+          sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
       pairs.crossJoin(broadcast(n))
-        .withColumn("var18", expr("n * (n - 1) * (2 * n + 5)"))
+        .withColumn("var18",
+          expr("n * (n - 1) * (2 * n + 5) - tie18"))
         .select(col("n").as("n_days"), col("n_pairs"), col("s"),
           col("n_tie_pairs"),
           r6((col("s").cast("double")
@@ -63,13 +70,17 @@ object Extras62 {
                     CAST(SUM(CASE WHEN b1.y = b2.y THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_tie_pairs
                   FROM b b1 JOIN b b2 ON b1.rn < b2.rn),
-            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+            nn AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie18
+                  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                          FROM daily GROUP BY y))
          SELECT n AS n_days, n_pairs, s, n_tie_pairs,
                 round((CAST(s AS DOUBLE)
                   - CASE WHEN s > 0 THEN 1.0
                          WHEN s < 0 THEN -1.0 ELSE 0.0 END)
-                  / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
-                    / 18.0), 6) AS z_mk
+                  / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie18
+                    AS DOUBLE) / 18.0), 6) AS z_mk
          FROM p, nn"""
   )
 }

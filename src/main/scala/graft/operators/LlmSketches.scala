@@ -314,7 +314,7 @@ object LlmSketches {
       val qrow = bucketed.where(col("vec_id") === 0)
         .withColumn("dots", dotsArr)
         // active planes ranked by |margin| asc (ties by mask — total
-        // order both engines); the 4 weakest get exhaustive sign probes
+        // order both engines); the 5 weakest get exhaustive sign probes
         .withColumn("low5", expr(
           """transform(slice(array_sort(filter(
                transform(dots, (dd, j) ->
