@@ -93,7 +93,9 @@ object SparkEntry {
     (Extras63.queries, Extras63.oracle),
     (Extras64.queries, Extras64.oracle),
     (Extras65.queries, Extras65.oracle),
-    (Extras66.queries, Extras66.oracle)
+    (Extras66.queries, Extras66.oracle),
+    (Extras67.queries, Extras67.oracle),
+    (Extras68.queries, Extras68.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -190,6 +190,42 @@ object LlmSketches {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // PER-LABEL IVF ANN (round-9 advice's multi-table ANN item): a
+    // separate 4-centroid codebook PER LABEL (the multi-tenant index —
+    // each tenant/table gets its own inverted lists and a query never
+    // scans another tenant's cells). Codebooks are the 4 smallest
+    // vec_ids within each label; assignment joins on label so a vector
+    // only competes against its own codebook; the search touches the
+    // query's (label, cell) only. Centroid ids are globally unique, so
+    // the cell match is one equi-join key. At 100 TB label is the
+    // partition key and each label's lists shard independently.
+    "q_llm_ann_ivf_label" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), q6v(col("embedding")).as("qe"))
+      val cw = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val cents = emb
+        .withColumn("crn", row_number().over(cw))
+        .where(col("crn") <= 4)
+        .select(col("label"), col("vec_id").as("cid"), col("qe").as("ce"))
+      val scored = emb.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("cid"), col("qe"),
+          (longDot(col("qe"), col("ce")).cast("double") / 1e12).as("cs"))
+      val assignW = Window.partitionBy("vec_id")
+        .orderBy(col("cs").desc, col("cid"))
+      val assigned = scored
+        .withColumn("rn", row_number().over(assignW))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qe"))
+      val qCell = assigned.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"), col("qe").as("qv"))
+      assigned.join(broadcast(qCell), col("cid") === col("qcid"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (longDot(col("qe"), col("qv")).cast("double") / 1e12).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF-style ANN: assign all vectors to the nearest of 8 fixed
     // centroids (vec_id < 8 as the codebook), then search ONLY the query
     // vector's cell for its top-5 neighbors.
@@ -562,7 +598,8 @@ object LlmSketches {
     // all-pairs statement at ITS radius, proving the rewrite is lossless.
     "q_llm_simhash_lsh" -> simhashPairsOracle(6),
     "q_llm_simhash_pairs" -> simhashPairsOracle(10),
-    "q_llm_ann_ivf" -> annIvfOracle
+    "q_llm_ann_ivf" -> annIvfOracle,
+    "q_llm_ann_ivf_label" -> annIvfLabelOracle
   )
 
   /** Shared CTE prefix of both hyperplane-LSH oracles — the SQL twin of
@@ -608,6 +645,40 @@ object LlmSketches {
                   WHERE vec_id < 8),
             u AS (SELECT q.vec_id, c.cid, q.e, c.qe,
                          unnest(generate_series(1, len(q.e))) AS i FROM q, c),
+            s AS (SELECT vec_id, cid, $duckDot AS dot FROM u
+                  GROUP BY vec_id, cid),
+            a AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dot DESC, cid) AS rn
+                  FROM s),
+            asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+            qc AS (SELECT cid AS qcid FROM asg WHERE vec_id = 0),
+            cell AS (SELECT asg.vec_id FROM asg, qc
+                     WHERE asg.cid = qc.qcid AND asg.vec_id <> 0),
+            p AS (SELECT v.vec_id, v.embedding AS e, qv.embedding AS qe
+                  FROM embeddings v
+                  JOIN cell ON cell.vec_id = v.vec_id,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0) qv(embedding)),
+            pu AS (SELECT vec_id, e, qe,
+                          unnest(generate_series(1, len(e))) AS i FROM p),
+            ps AS (SELECT vec_id, $duckDot AS dot FROM pu GROUP BY vec_id)
+         SELECT vec_id, CAST(dot AS DOUBLE) / 1e12 AS score FROM ps
+         ORDER BY score DESC, vec_id LIMIT 5"""
+
+  /** Per-label IVF: annIvfOracle with a 4-centroid codebook PER label
+    * (the multi-tenant index); centroid ids are globally unique so the
+    * query-cell match stays a single cid equi-join. */
+  private lazy val annIvfLabelOracle: String =
+      s"""WITH q AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+            c AS (SELECT label, vec_id AS cid, embedding AS qe
+                  FROM (SELECT label, vec_id, embedding,
+                          row_number() OVER (PARTITION BY label
+                            ORDER BY vec_id) AS crn
+                        FROM embeddings)
+                  WHERE crn <= 4),
+            u AS (SELECT q.vec_id, c.cid, q.e, c.qe,
+                         unnest(generate_series(1, len(q.e))) AS i
+                  FROM q JOIN c ON q.label = c.label),
             s AS (SELECT vec_id, cid, $duckDot AS dot FROM u
                   GROUP BY vec_id, cid),
             a AS (SELECT vec_id, cid,
