@@ -55,6 +55,22 @@ object PerfProbe {
           (i + 1 until ds.length).iterator.map(j => (ds(i), ds(j))))
       }.toDF("doc_a", "doc_b").groupBy("doc_a", "doc_b").count().count()
     }
+
+    // md5long-chain cost split (round-9 advice: go native ONLY if the
+    // conv(substr(md5)) wrapper — not md5 itself — is hot). Three runs
+    // over the same exploded shingle column: raw md5 (the floor), the
+    // full portable chain, and xxhash64 (the non-portable ceiling).
+    val s0 = sh.select(explode(col("sh")).as("s0"))
+    time("hash: md5 only") {
+      s0.select(md5(col("s0")).as("h")).agg(count(col("h"))).count()
+    }
+    time("hash: md5long chain") {
+      s0.select(conv(substring(md5(col("s0")), 1, 15), 16, 10)
+        .cast("long").as("h")).agg(sum(col("h"))).count()
+    }
+    time("hash: xxhash64") {
+      s0.select(xxhash64(col("s0")).as("h")).agg(sum(col("h"))).count()
+    }
     spark.stop()
   }
 }

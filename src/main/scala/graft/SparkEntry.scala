@@ -95,7 +95,8 @@ object SparkEntry {
     (Extras65.queries, Extras65.oracle),
     (Extras66.queries, Extras66.oracle),
     (Extras67.queries, Extras67.oracle),
-    (Extras68.queries, Extras68.oracle)
+    (Extras68.queries, Extras68.oracle),
+    (Extras69.queries, Extras69.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
