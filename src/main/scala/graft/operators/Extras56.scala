@@ -14,6 +14,57 @@ import graft.{Det, Tables}
   * integer predicates.
   */
 object Extras56 {
+
+  /** Raw transition counts with per-src row sums (src, dst, n, rs). */
+  private def transRs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("src"),
+        col("ts"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rs", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+  }
+
+  /** Transition counts closed over EMITTING states (dst must also be a
+    * src) — shared by the stationary distribution and the entropy-rate
+    * op (Extras70). */
+  private[operators] def transClosed(s: SparkSession, d: String): DataFrame = {
+    val trans = transRs(s, d)
+    // chain closure: only transitions whose dst also emits stay (the
+    // chain is defined over emitting states; both engines agree)
+    val states = trans.select(col("src").as("state")).distinct()
+    trans.join(states.select(col("state").as("dst")), "dst")
+  }
+
+  /** 12-round integer-micro power iteration to the stationary vector
+    * (state, v) — see q_evt_markov_stationary's scaladoc. The state
+    * set is the DISTINCT SRC set of the UNCLOSED transition relation
+    * (the oracle's `states` CTE — closure applies to edges, not to the
+    * initial mass assignment). */
+  private[operators] def stationaryVec(s: SparkSession, d: String): DataFrame = {
+    val closed = transClosed(s, d)
+    val states = transRs(s, d).select(col("src").as("state")).distinct()
+    val k = org.apache.spark.sql.expressions.Window
+      .orderBy(col("state"))
+    val init = states
+      .withColumn("rk", row_number().over(k))
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+      .select(col("state"),
+        (expr("1000000 div ns")
+          + when(col("rk") === 1, expr("1000000 % ns")).otherwise(0L))
+          .as("v"))
+    (1 to 12).foldLeft(init) { (v, _) =>
+      v.join(closed, col("state") === col("src"))
+        .select(col("dst"), expr("v * n div rs").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("v"))
+        .select(col("dst").as("state"), col("v"))
+    }
+  }
   import Det._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -25,37 +76,7 @@ object Extras56 {
     // an integer vector and the final distribution is engine-exact.
     // The state relation is alphabet-sized; iteration count is fixed.
     "q_evt_markov_stationary" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val trans = Tables.events(s, d)
-        .select(col("user_id"), col("event_type").as("src"),
-          col("ts"), col("event_id"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .where(col("dst").isNotNull)
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rs", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      // chain closure: only transitions whose dst also emits stay (the
-      // chain is defined over emitting states; both engines agree)
-      val states = trans.select(col("src").as("state")).distinct()
-      val closed = trans.join(states.select(col("state").as("dst")), "dst")
-      val k = org.apache.spark.sql.expressions.Window
-        .orderBy(col("state"))
-      val init = states
-        .withColumn("rk", row_number().over(k))
-        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
-        .select(col("state"),
-          (expr("1000000 div ns")
-            + when(col("rk") === 1, expr("1000000 % ns")).otherwise(0L))
-            .as("v"))
-      val finalV = (1 to 12).foldLeft(init) { (v, _) =>
-        v.join(closed, col("state") === col("src"))
-          .select(col("dst"), expr("v * n div rs").as("m"))
-          .groupBy(col("dst")).agg(sum(col("m")).as("v"))
-          .select(col("dst").as("state"), col("v"))
-      }
-      finalV
+      stationaryVec(s, d)
         .select(col("state"), col("v").as("v_micro"),
           (col("v").cast("double") / 1e6).as("pi"))
         .orderBy("state")
