@@ -97,7 +97,8 @@ object SparkEntry {
     (Extras67.queries, Extras67.oracle),
     (Extras68.queries, Extras68.oracle),
     (Extras69.queries, Extras69.oracle),
-    (Extras70.queries, Extras70.oracle)
+    (Extras70.queries, Extras70.oracle),
+    (Extras71.queries, Extras71.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
