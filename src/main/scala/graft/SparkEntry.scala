@@ -98,7 +98,8 @@ object SparkEntry {
     (Extras68.queries, Extras68.oracle),
     (Extras69.queries, Extras69.oracle),
     (Extras70.queries, Extras70.oracle),
-    (Extras71.queries, Extras71.oracle)
+    (Extras71.queries, Extras71.oracle),
+    (Extras72.queries, Extras72.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
