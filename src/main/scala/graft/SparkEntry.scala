@@ -99,7 +99,8 @@ object SparkEntry {
     (Extras69.queries, Extras69.oracle),
     (Extras70.queries, Extras70.oracle),
     (Extras71.queries, Extras71.oracle),
-    (Extras72.queries, Extras72.oracle)
+    (Extras72.queries, Extras72.oracle),
+    (Extras73.queries, Extras73.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
