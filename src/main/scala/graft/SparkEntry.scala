@@ -100,7 +100,8 @@ object SparkEntry {
     (Extras70.queries, Extras70.oracle),
     (Extras71.queries, Extras71.oracle),
     (Extras72.queries, Extras72.oracle),
-    (Extras73.queries, Extras73.oracle)
+    (Extras73.queries, Extras73.oracle),
+    (Extras74.queries, Extras74.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
