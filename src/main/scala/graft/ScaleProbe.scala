@@ -397,7 +397,32 @@ object ScaleProbe {
       "q_evt_markov_stationary" -> (d => SparkEntry.queries("q_evt_markov_stationary")(spark, d).count()),
       "q_evt_logrank" -> (d => SparkEntry.queries("q_evt_logrank")(spark, d).count()),
       "q_join_pit" -> (d => SparkEntry.queries("q_join_pit")(spark, d).count()),
-      "q_ts_mann_kendall" -> (d => SparkEntry.queries("q_ts_mann_kendall")(spark, d).count())
+      "q_ts_mann_kendall" -> (d => SparkEntry.queries("q_ts_mann_kendall")(spark, d).count()),
+      // Round-10 operator probes (parts 1-12): span_corrupt/fim are
+      // corpus-linear per-row transforms (the suffixed 8× vocabulary
+      // rides along); contamination_13gram's bench side is
+      // slice-bounded broadcast; the streaming KMV holds ≤64 longs per
+      // key at ANY cardinality (the claim probed); entropy_rate/
+      // eigencentrality/pc1 are alphabet-, graph- and dimension-bounded
+      // iterations; drift_ks walks the distinct-cents grid; levene
+      // sorts per priority partition; bootstrap is a bounded 32×
+      // explode; hodges_lehmann/kendall_tau ride the broadcast
+      // calendar² spine (flat expected); cuped is user-grain.
+      "q_llm_span_corrupt" -> (d => SparkEntry.queries("q_llm_span_corrupt")(spark, d).count()),
+      "q_llm_fim_transform" -> (d => SparkEntry.queries("q_llm_fim_transform")(spark, d).count()),
+      "q_llm_contamination_13gram" -> (d => SparkEntry.queries("q_llm_contamination_13gram")(spark, d).count()),
+      "q_stream_live_kmv" -> (d => SparkEntry.queries("q_stream_live_kmv")(spark, d).count()),
+      "q_evt_markov_entropy_rate" -> (d => SparkEntry.queries("q_evt_markov_entropy_rate")(spark, d).count()),
+      "q_graph_eigencentrality" -> (d => SparkEntry.queries("q_graph_eigencentrality")(spark, d).count()),
+      "q_llm_embed_pc1" -> (d => SparkEntry.queries("q_llm_embed_pc1")(spark, d).count()),
+      "q_dq_drift_ks" -> (d => SparkEntry.queries("q_dq_drift_ks")(spark, d).count()),
+      "q_agg_levene" -> (d => SparkEntry.queries("q_agg_levene")(spark, d).count()),
+      "q_agg_poisson_bootstrap" -> (d => SparkEntry.queries("q_agg_poisson_bootstrap")(spark, d).count()),
+      "q_ts_hodges_lehmann" -> (d => SparkEntry.queries("q_ts_hodges_lehmann")(spark, d).count()),
+      "q_ts_kendall_tau" -> (d => SparkEntry.queries("q_ts_kendall_tau")(spark, d).count()),
+      "q_evt_cuped" -> (d => SparkEntry.queries("q_evt_cuped")(spark, d).count()),
+      "q_agg_kmv_theta" -> (d => SparkEntry.queries("q_agg_kmv_theta")(spark, d).count()),
+      "q_stream_live_mor" -> (d => SparkEntry.queries("q_stream_live_mor")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
