@@ -410,7 +410,14 @@ object ScaleProbe {
       // calendar² spine (flat expected); cuped is user-grain.
       "q_llm_span_corrupt" -> (d => SparkEntry.queries("q_llm_span_corrupt")(spark, d).count()),
       "q_llm_fim_transform" -> (d => SparkEntry.queries("q_llm_fim_transform")(spark, d).count()),
-      "q_llm_contamination_13gram" -> (d => SparkEntry.queries("q_llm_contamination_13gram")(spark, d).count()),
+      // Pinned deployment shape (round-10 verdict item 6): the bench
+      // slice is capped to the 1× doc_id block (rep 0) so the probe
+      // measures a CONSTANT benchmark suite against a K× corpus — the
+      // shape a real decontamination screen pays. The cap is a no-op
+      // at 1× (every 1× doc_id < 2^20, the replica block offset).
+      "q_llm_contamination_13gram" -> (d =>
+        operators.Extras73.contamination13(spark, d,
+          benchIdCap = 1048576L).count()),
       "q_stream_live_kmv" -> (d => SparkEntry.queries("q_stream_live_kmv")(spark, d).count()),
       "q_evt_markov_entropy_rate" -> (d => SparkEntry.queries("q_evt_markov_entropy_rate")(spark, d).count()),
       "q_graph_eigencentrality" -> (d => SparkEntry.queries("q_graph_eigencentrality")(spark, d).count()),

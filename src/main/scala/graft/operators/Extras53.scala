@@ -96,12 +96,7 @@ object Extras53 {
       val trips = LlmOps.shingleTrips(s, d)
         .select(col("doc_id"), md5long(col("s0")).as("hs"),
           col("nsh"))
-      val pairs = trips.as("a").join(trips.as("b"),
-          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"),
-          min(col("a.nsh")).cast("long").as("na"),
-          min(col("b.nsh")).cast("long").as("nb"))
+      val pairs = LlmOps.postingPairs(s, trips)
       pairs
         .select(explode(sequence(lit(5), lit(9))).as("t"),
           col("inter"), col("na"), col("nb"))

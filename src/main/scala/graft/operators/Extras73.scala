@@ -42,6 +42,32 @@ object Extras73 {
       dig.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  /** 13-GRAM DECONTAMINATION kernel — shared by the graded query (no
+    * cap) and the ScaleProbe deployment-shape row (round-10 verdict
+    * item 6: a real decontamination screen holds the benchmark suite
+    * CONSTANT while the corpus scales, so the probe caps the bench
+    * slice to the 1× doc_id block — a no-op at 1× where every doc_id
+    * is below the ScaleProbe replica block offset 2^20). */
+  private[graft] def contamination13(s: SparkSession, d: String,
+                                     benchIdCap: Long): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bucket = pmod(md5long(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    val grams = Tables.documents(s, d)
+      .where(size(ws) >= 13)
+      .select(col("doc_id"), bucket.as("bucket"),
+        explode(transform(sequence(lit(1), size(ws) - 12),
+          i => concat_ws(" ", slice(ws, i, lit(13))))).as("g"))
+    val bench = grams.where(col("bucket") >= 90
+        && col("doc_id") < benchIdCap)
+      .select(col("g")).distinct()
+    grams.where(col("bucket") < 80)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // STREAMING KMV — per event type, a LIVE bounded-state distinct-
@@ -98,23 +124,8 @@ object Extras73 {
     // buckets ≥ 90). RAW-string join keys (the round-10 containment
     // discipline); the benchmark side is slice-bounded and BROADCAST,
     // so the corpus side streams past it with no shuffle.
-    "q_llm_contamination_13gram" -> ((s, d) => {
-      val ws = split(col("text"), " ")
-      val bucket = pmod(md5long(
-        concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
-      val grams = Tables.documents(s, d)
-        .where(size(ws) >= 13)
-        .select(col("doc_id"), bucket.as("bucket"),
-          explode(transform(sequence(lit(1), size(ws) - 12),
-            i => concat_ws(" ", slice(ws, i, lit(13))))).as("g"))
-      val bench = grams.where(col("bucket") >= 90)
-        .select(col("g")).distinct()
-      grams.where(col("bucket") < 80)
-        .join(broadcast(bench), "g")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_hit_grams"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_contamination_13gram" -> ((s, d) =>
+      contamination13(s, d, benchIdCap = Long.MaxValue)),
 
     // CUPED — variance-reduced A/B readout: per user, pre-period (first
     // calendar half) and experiment-period value totals; θ =

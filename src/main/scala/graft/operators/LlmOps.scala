@@ -133,7 +133,25 @@ object LlmOps {
     // (df = m) contributes C(m,2) pairs in ANY exact formulation — the
     // 100 TB path for that corpus shape is the MinHash-LSH query family,
     // not exact all-pairs.
-    val pairRows = trips.as[(Long, Long, Int)]
+    postingPairs(s, trips)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
+  /** Posting-list pair kernel: trips = (doc_id, key, nsh) rows, one per
+    * distinct (doc, shingle-key); groups by key and emits every
+    * (lo, hi)-normalized doc pair inside the posting list from a
+    * per-group Scala loop, then folds to (doc_a, doc_b, inter, na, nb).
+    * ONE shuffle (the groupByKey) versus two for a self-equi-join —
+    * shared by nearDupPairs (xxhash64 keys) and the threshold sweep
+    * (portable md5 keys, engine-parity contract). */
+  private[operators] def postingPairs(s: SparkSession,
+                                      trips: DataFrame): DataFrame = {
+    import s.implicits._
+    trips.as[(Long, Long, Int)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
         val v = it.toArray.sortBy(_._1)
@@ -144,17 +162,11 @@ object LlmOps {
         } yield (v(i)._1, v(i)._3, v(j)._1, v(j)._3)
       }
       .toDF("doc_a", "na", "doc_b", "nb")
-    pairRows
       .groupBy(col("doc_a"), col("doc_b"))
       // na/nb are constant within a (doc_a, doc_b) group; min() is just
       // the order-insensitive way to pick the constant up.
       .agg(count(lit(1)).as("inter"), min(col("na")).cast("long").as("na"),
         min(col("nb")).cast("long").as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
-        col("nb"), col("jaccard"))
   }
 
   // ---- declared queries -------------------------------------------------
