@@ -429,7 +429,16 @@ object ScaleProbe {
       "q_ts_kendall_tau" -> (d => SparkEntry.queries("q_ts_kendall_tau")(spark, d).count()),
       "q_evt_cuped" -> (d => SparkEntry.queries("q_evt_cuped")(spark, d).count()),
       "q_agg_kmv_theta" -> (d => SparkEntry.queries("q_agg_kmv_theta")(spark, d).count()),
-      "q_stream_live_mor" -> (d => SparkEntry.queries("q_stream_live_mor")(spark, d).count())
+      "q_stream_live_mor" -> (d => SparkEntry.queries("q_stream_live_mor")(spark, d).count()),
+      // Round-11 probes (Extras75): both recurrence kernels are
+      // calendar-bounded per series — the fact-sized stage is the
+      // (type, day) count agg. At 8× the events replicas shift 64 days
+      // apart, so the calendar span itself grows ~15× (31 → ~480
+      // days): series length n scales with the SPAN, and the kernels
+      // must stay daily-agg-dominated (HW is O(n) state-3 smoothing;
+      // DTW is O(n·band) per alphabet-bounded pair).
+      "q_ts_holt_winters" -> (d => SparkEntry.queries("q_ts_holt_winters")(spark, d).count()),
+      "q_ts_dtw" -> (d => SparkEntry.queries("q_ts_dtw")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -101,7 +101,8 @@ object SparkEntry {
     (Extras71.queries, Extras71.oracle),
     (Extras72.queries, Extras72.oracle),
     (Extras73.queries, Extras73.oracle),
-    (Extras74.queries, Extras74.oracle)
+    (Extras74.queries, Extras74.oracle),
+    (Extras75.queries, Extras75.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
