@@ -438,7 +438,18 @@ object ScaleProbe {
       // must stay daily-agg-dominated (HW is O(n) state-3 smoothing;
       // DTW is O(n·band) per alphabet-bounded pair).
       "q_ts_holt_winters" -> (d => SparkEntry.queries("q_ts_holt_winters")(spark, d).count()),
-      "q_ts_dtw" -> (d => SparkEntry.queries("q_ts_dtw")(spark, d).count())
+      "q_ts_dtw" -> (d => SparkEntry.queries("q_ts_dtw")(spark, d).count()),
+      // Round-11 (round-10 verdict item 5): the multi-tenant IVF index
+      // beside its lsh/ivf siblings — per-label codebooks, search
+      // touches only the query's (label, cell).
+      "q_llm_ann_ivf_label" -> (d => SparkEntry.queries("q_llm_ann_ivf_label")(spark, d).count()),
+      // Round-11 (Extras76): cochran rides a (user, week, type) dedup
+      // over the 8× user space; geohash is one orders pass + bounded
+      // 1024-cell agg; the MK breakdown shares the seasonal spine
+      // (calendar-bounded — probed to prove the flat ratio).
+      "q_agg_cochran_q" -> (d => SparkEntry.queries("q_agg_cochran_q")(spark, d).count()),
+      "q_fn_geohash" -> (d => SparkEntry.queries("q_fn_geohash")(spark, d).count()),
+      "q_ts_mk_seasonal_breakdown" -> (d => SparkEntry.queries("q_ts_mk_seasonal_breakdown")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -475,6 +486,29 @@ object ScaleProbe {
       val r1 = (annTop5(key, sf) & bruteTop5(sf)).size / 5.0
       val rk = (annTop5(key, out) & bruteTop5(out)).size / 5.0
       println(f"recall $key%-18s 1x=$r1%4.2f ${k}x=$rk%4.2f (top-5 vs brute force)")
+    }
+    // Per-label (multi-tenant) recall: the ivf_label index only ever
+    // searches the query's own label partition, so its ground truth is
+    // the brute-force top-5 WITHIN vec 0's label — a tenant query is
+    // never supposed to surface another tenant's vectors.
+    def bruteTop5Label(d: String): Set[Long] = {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("label").as("ql"))
+      emb.where(col("vec_id") =!= 0)
+        .join(broadcast(q0), col("label") === col("ql"))
+        .select(col("vec_id"), expr(
+          """aggregate(zip_with(embedding, qe,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               0D, (a, x) -> a + x)""").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5).collect().map(_.getLong(0)).toSet
+    }
+    if (only.isEmpty || only("q_llm_ann_ivf_label")) {
+      val key = "q_llm_ann_ivf_label"
+      val r1 = (annTop5(key, sf) & bruteTop5Label(sf)).size / 5.0
+      val rk = (annTop5(key, out) & bruteTop5Label(out)).size / 5.0
+      println(f"recall $key%-18s 1x=$r1%4.2f ${k}x=$rk%4.2f (top-5 vs in-label brute force)")
     }
     spark.stop()
   }
