@@ -449,7 +449,16 @@ object ScaleProbe {
       // (calendar-bounded — probed to prove the flat ratio).
       "q_agg_cochran_q" -> (d => SparkEntry.queries("q_agg_cochran_q")(spark, d).count()),
       "q_fn_geohash" -> (d => SparkEntry.queries("q_fn_geohash")(spark, d).count()),
-      "q_ts_mk_seasonal_breakdown" -> (d => SparkEntry.queries("q_ts_mk_seasonal_breakdown")(spark, d).count())
+      "q_ts_mk_seasonal_breakdown" -> (d => SparkEntry.queries("q_ts_mk_seasonal_breakdown")(spark, d).count()),
+      // Round-11 (Extras77): grubbs is one fact agg + one broadcast
+      // re-scan (argmax over exact integer deviations); pettitt's pair
+      // stage is the broadcast calendar² spine (flat expected);
+      // edge_support shares the triangles three-join (Σdeg²-bounded);
+      // jsd is one fact pass into 20 bins.
+      "q_agg_grubbs" -> (d => SparkEntry.queries("q_agg_grubbs")(spark, d).count()),
+      "q_ts_pettitt" -> (d => SparkEntry.queries("q_ts_pettitt")(spark, d).count()),
+      "q_graph_edge_support" -> (d => SparkEntry.queries("q_graph_edge_support")(spark, d).count()),
+      "q_dq_jsd" -> (d => SparkEntry.queries("q_dq_jsd")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

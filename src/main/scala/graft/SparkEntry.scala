@@ -103,7 +103,8 @@ object SparkEntry {
     (Extras73.queries, Extras73.oracle),
     (Extras74.queries, Extras74.oracle),
     (Extras75.queries, Extras75.oracle),
-    (Extras76.queries, Extras76.oracle)
+    (Extras76.queries, Extras76.oracle),
+    (Extras77.queries, Extras77.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
