@@ -458,7 +458,14 @@ object ScaleProbe {
       "q_agg_grubbs" -> (d => SparkEntry.queries("q_agg_grubbs")(spark, d).count()),
       "q_ts_pettitt" -> (d => SparkEntry.queries("q_ts_pettitt")(spark, d).count()),
       "q_graph_edge_support" -> (d => SparkEntry.queries("q_graph_edge_support")(spark, d).count()),
-      "q_dq_jsd" -> (d => SparkEntry.queries("q_dq_jsd")(spark, d).count())
+      "q_dq_jsd" -> (d => SparkEntry.queries("q_dq_jsd")(spark, d).count()),
+      // Round-11 (Extras78): boilerplate rides the 5-gram posting
+      // relation (suffixed 8× vocabulary ⇒ key space grows linearly);
+      // readability/stopword are per-row corpus passes; lcs_pairs is a
+      // bounded 28-pair broadcast relation (flat expected).
+      "q_llm_boilerplate" -> (d => SparkEntry.queries("q_llm_boilerplate")(spark, d).count()),
+      "q_llm_readability" -> (d => SparkEntry.queries("q_llm_readability")(spark, d).count()),
+      "q_llm_lcs_pairs" -> (d => SparkEntry.queries("q_llm_lcs_pairs")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
