@@ -465,7 +465,15 @@ object ScaleProbe {
       // bounded 28-pair broadcast relation (flat expected).
       "q_llm_boilerplate" -> (d => SparkEntry.queries("q_llm_boilerplate")(spark, d).count()),
       "q_llm_readability" -> (d => SparkEntry.queries("q_llm_readability")(spark, d).count()),
-      "q_llm_lcs_pairs" -> (d => SparkEntry.queries("q_llm_lcs_pairs")(spark, d).count())
+      "q_llm_lcs_pairs" -> (d => SparkEntry.queries("q_llm_lcs_pairs")(spark, d).count()),
+      // Round-11 (Extras79): sprt/conversion_window are user-grain
+      // aggs; path_trigram/session_entropy ride the per-user ordered
+      // window over the 8× user space; markov_absorb's iteration is
+      // alphabet-bounded (its fact stage is the one lead window).
+      "q_evt_sprt" -> (d => SparkEntry.queries("q_evt_sprt")(spark, d).count()),
+      "q_evt_path_trigram" -> (d => SparkEntry.queries("q_evt_path_trigram")(spark, d).count()),
+      "q_evt_session_entropy" -> (d => SparkEntry.queries("q_evt_session_entropy")(spark, d).count()),
+      "q_evt_markov_absorb" -> (d => SparkEntry.queries("q_evt_markov_absorb")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
