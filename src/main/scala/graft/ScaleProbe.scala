@@ -473,7 +473,13 @@ object ScaleProbe {
       "q_evt_sprt" -> (d => SparkEntry.queries("q_evt_sprt")(spark, d).count()),
       "q_evt_path_trigram" -> (d => SparkEntry.queries("q_evt_path_trigram")(spark, d).count()),
       "q_evt_session_entropy" -> (d => SparkEntry.queries("q_evt_session_entropy")(spark, d).count()),
-      "q_evt_markov_absorb" -> (d => SparkEntry.queries("q_evt_markov_absorb")(spark, d).count())
+      "q_evt_markov_absorb" -> (d => SparkEntry.queries("q_evt_markov_absorb")(spark, d).count()),
+      // Round-11 (Extras80): frame_dedup's fan-out is partition-local
+      // (corpus-linear frames into one digest agg); length_outliers
+      // runs two per-source order-statistic windows over the 8× doc
+      // space; router/prefix are single corpus passes.
+      "q_llm_frame_dedup" -> (d => SparkEntry.queries("q_llm_frame_dedup")(spark, d).count()),
+      "q_llm_length_outliers" -> (d => SparkEntry.queries("q_llm_length_outliers")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
