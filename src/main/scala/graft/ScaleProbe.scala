@@ -479,7 +479,14 @@ object ScaleProbe {
       // runs two per-source order-statistic windows over the 8× doc
       // space; router/prefix are single corpus passes.
       "q_llm_frame_dedup" -> (d => SparkEntry.queries("q_llm_frame_dedup")(spark, d).count()),
-      "q_llm_length_outliers" -> (d => SparkEntry.queries("q_llm_length_outliers")(spark, d).count())
+      "q_llm_length_outliers" -> (d => SparkEntry.queries("q_llm_length_outliers")(spark, d).count()),
+      // Round-11 (Extras81): the bucketed interval join's per-bucket
+      // cost is (sessions-per-hour)² — the 8× fixture spreads users
+      // over disjoint months, so buckets stay dense-constant and the
+      // pair relation grows ~linearly; sample_pergroup must stay a
+      // per-group TakeOrdered (top-3 by hash rank).
+      "q_join_interval_sessions" -> (d => SparkEntry.queries("q_join_interval_sessions")(spark, d).count()),
+      "q_scan_sample_pergroup" -> (d => SparkEntry.queries("q_scan_sample_pergroup")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -107,7 +107,8 @@ object SparkEntry {
     (Extras77.queries, Extras77.oracle),
     (Extras78.queries, Extras78.oracle),
     (Extras79.queries, Extras79.oracle),
-    (Extras80.queries, Extras80.oracle)
+    (Extras80.queries, Extras80.oracle),
+    (Extras81.queries, Extras81.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
