@@ -486,7 +486,14 @@ object ScaleProbe {
       // pair relation grows ~linearly; sample_pergroup must stay a
       // per-group TakeOrdered (top-3 by hash rank).
       "q_join_interval_sessions" -> (d => SparkEntry.queries("q_join_interval_sessions")(spark, d).count()),
-      "q_scan_sample_pergroup" -> (d => SparkEntry.queries("q_scan_sample_pergroup")(spark, d).count())
+      "q_scan_sample_pergroup" -> (d => SparkEntry.queries("q_scan_sample_pergroup")(spark, d).count()),
+      // Round-11 (Extras82): decompose/fourier ride the calendar-
+      // bounded daily spine (the fixture's 8× orders keep the same
+      // calendar, so both should be FLAT); powerlaw_alpha is one
+      // degree agg over the growing user graph.
+      "q_ts_decompose" -> (d => SparkEntry.queries("q_ts_decompose")(spark, d).count()),
+      "q_ts_fourier" -> (d => SparkEntry.queries("q_ts_fourier")(spark, d).count()),
+      "q_graph_powerlaw_alpha" -> (d => SparkEntry.queries("q_graph_powerlaw_alpha")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
