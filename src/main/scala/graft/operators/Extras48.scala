@@ -25,18 +25,16 @@ object Extras48 {
     // near-dup thresholds miss). Same posting-list candidate kernel as
     // q_llm_dedup_near (never all-pairs); membership is the INTEGER
     // predicate inter·10 ≥ n·8, so no IEEE value decides the emit.
-    // The equi-join key is the RAW shingle string (the q_llm_dedup_near
-    // discipline) — a 64-bit-hash key would admit collisions only the
-    // Spark side sees and break exact engine parity.
+    // The equi-join key is the PORTABLE 60-bit md5 hash applied
+    // identically in BOTH engines (round-11, the threshold_sweep
+    // rework): collisions produce the same spurious intersection on
+    // both sides — exact parity at fixed 8-byte key width instead of
+    // suffix-widened shingle strings.
     "q_llm_containment" -> ((s, d) => {
       val trips = LlmOps.shingleTrips(s, d)
-        .select(col("doc_id"), col("s0"), col("nsh"))
-      trips.as("a").join(trips.as("b"),
-          col("a.s0") === col("b.s0") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"),
-          min(col("a.nsh")).cast("long").as("na"),
-          min(col("b.nsh")).cast("long").as("nb"))
+        .select(col("doc_id"), Det.md5long(col("s0")).as("hs"),
+          col("nsh"))
+      LlmOps.postingPairs(s, trips)
         .where(col("inter") * 10 >= col("na") * 8
           || col("inter") * 10 >= col("nb") * 8)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
@@ -159,14 +157,18 @@ object Extras48 {
                     FROM documents WHERE len(string_split(text, ' ')) >= 3),
             x AS (SELECT doc_id, ws,
                          unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
-            sh AS (SELECT DISTINCT doc_id,
-                          array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            sh0 AS (SELECT DISTINCT doc_id,
+                           array_to_string(ws[i:i+2], ' ') AS s FROM x),
+            sh AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                            AS hs
+                   FROM sh0),
             cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
-                    FROM sh GROUP BY doc_id),
+                    FROM sh0 GROUP BY doc_id),
             pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              CAST(COUNT(*) AS BIGINT) AS inter
                       FROM sh a JOIN sh b
-                        ON a.s = b.s AND a.doc_id < b.doc_id
+                        ON a.hs = b.hs AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
          SELECT doc_a, doc_b, inter, ca.nsh AS na, cb.nsh AS nb,
                 round(CAST(inter AS DOUBLE) / CAST(ca.nsh AS DOUBLE), 6)
