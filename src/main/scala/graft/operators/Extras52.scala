@@ -50,8 +50,13 @@ object Extras52 {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
+        // cand feeds both n_cand and the tp semi join; exact feeds both
+        // n_exact and tp — one materialization each (round-11), else
+        // the banding/shingle kernels re-run per plan reference.
+        .localCheckpoint()
       val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
       val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")

@@ -103,7 +103,13 @@ object Extras55 {
       val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
       val minCols = (0 until 16).map(j =>
         min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
+      // ONE materialization each for the signature table and the exact
+      // truth (round-11): the plan references sig twice (two band
+      // configs) and the near-dup truth four times (tp + n_exact per
+      // config) — without the checkpoint the shingle kernel re-runs
+      // per reference.
       val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .localCheckpoint()
       def candidates(nBands: Int, rPer: Int): DataFrame = {
         val bandStructs = (0 until nBands).map(b =>
           struct(lit(b).as("b"),
@@ -120,6 +126,7 @@ object Extras55 {
       }
       val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       def eval(tag: String, nBands: Int, rPer: Int): DataFrame = {
         val cand = candidates(nBands, rPer)
         val nc = cand.agg(count(lit(1)).as("n_cand"))
