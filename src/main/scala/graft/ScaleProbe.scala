@@ -493,7 +493,13 @@ object ScaleProbe {
       // degree agg over the growing user graph.
       "q_ts_decompose" -> (d => SparkEntry.queries("q_ts_decompose")(spark, d).count()),
       "q_ts_fourier" -> (d => SparkEntry.queries("q_ts_fourier")(spark, d).count()),
-      "q_graph_powerlaw_alpha" -> (d => SparkEntry.queries("q_graph_powerlaw_alpha")(spark, d).count())
+      "q_graph_powerlaw_alpha" -> (d => SparkEntry.queries("q_graph_powerlaw_alpha")(spark, d).count()),
+      // Round-11 (Extras83): token_len_hist is one corpus explode into
+      // a 15-cell agg; retention_curve is (user, day)-grain over the
+      // 8× user space; anomaly_days rides the calendar spine.
+      "q_llm_token_len_hist" -> (d => SparkEntry.queries("q_llm_token_len_hist")(spark, d).count()),
+      "q_evt_retention_curve" -> (d => SparkEntry.queries("q_evt_retention_curve")(spark, d).count()),
+      "q_evt_anomaly_days" -> (d => SparkEntry.queries("q_evt_anomaly_days")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -109,7 +109,8 @@ object SparkEntry {
     (Extras79.queries, Extras79.oracle),
     (Extras80.queries, Extras80.oracle),
     (Extras81.queries, Extras81.oracle),
-    (Extras82.queries, Extras82.oracle)
+    (Extras82.queries, Extras82.oracle),
+    (Extras83.queries, Extras83.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
