@@ -499,7 +499,13 @@ object ScaleProbe {
       // 8× user space; anomaly_days rides the calendar spine.
       "q_llm_token_len_hist" -> (d => SparkEntry.queries("q_llm_token_len_hist")(spark, d).count()),
       "q_evt_retention_curve" -> (d => SparkEntry.queries("q_evt_retention_curve")(spark, d).count()),
-      "q_evt_anomaly_days" -> (d => SparkEntry.queries("q_evt_anomaly_days")(spark, d).count())
+      "q_evt_anomaly_days" -> (d => SparkEntry.queries("q_evt_anomaly_days")(spark, d).count()),
+      // Round-11 (Extras84): best_run is calendar-spine prefix windows
+      // (flat); ratio_est/diff_in_diff/chisq_gof are user-grain or
+      // alphabet-bounded aggs over 8× facts.
+      "q_ts_best_run" -> (d => SparkEntry.queries("q_ts_best_run")(spark, d).count()),
+      "q_agg_ratio_est" -> (d => SparkEntry.queries("q_agg_ratio_est")(spark, d).count()),
+      "q_evt_diff_in_diff" -> (d => SparkEntry.queries("q_evt_diff_in_diff")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -110,7 +110,8 @@ object SparkEntry {
     (Extras80.queries, Extras80.oracle),
     (Extras81.queries, Extras81.oracle),
     (Extras82.queries, Extras82.oracle),
-    (Extras83.queries, Extras83.oracle)
+    (Extras83.queries, Extras83.oracle),
+    (Extras84.queries, Extras84.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
