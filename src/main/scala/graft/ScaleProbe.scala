@@ -505,7 +505,14 @@ object ScaleProbe {
       // alphabet-bounded aggs over 8× facts.
       "q_ts_best_run" -> (d => SparkEntry.queries("q_ts_best_run")(spark, d).count()),
       "q_agg_ratio_est" -> (d => SparkEntry.queries("q_agg_ratio_est")(spark, d).count()),
-      "q_evt_diff_in_diff" -> (d => SparkEntry.queries("q_evt_diff_in_diff")(spark, d).count())
+      "q_evt_diff_in_diff" -> (d => SparkEntry.queries("q_evt_diff_in_diff")(spark, d).count()),
+      // Round-11 (Extras85): ktruss is 3 support rounds on the sampled
+      // co-occurrence graph (Σdeg²-bounded, shrinking); zipf_source is
+      // corpus explode → two-phase salted top-50; base64 is a pure
+      // per-row codec scan.
+      "q_graph_ktruss" -> (d => SparkEntry.queries("q_graph_ktruss")(spark, d).count()),
+      "q_llm_zipf_source" -> (d => SparkEntry.queries("q_llm_zipf_source")(spark, d).count()),
+      "q_fn_base64" -> (d => SparkEntry.queries("q_fn_base64")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

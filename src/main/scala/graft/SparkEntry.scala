@@ -111,7 +111,8 @@ object SparkEntry {
     (Extras81.queries, Extras81.oracle),
     (Extras82.queries, Extras82.oracle),
     (Extras83.queries, Extras83.oracle),
-    (Extras84.queries, Extras84.oracle)
+    (Extras84.queries, Extras84.oracle),
+    (Extras85.queries, Extras85.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
