@@ -113,7 +113,8 @@ object SparkEntry {
     (Extras83.queries, Extras83.oracle),
     (Extras84.queries, Extras84.oracle),
     (Extras85.queries, Extras85.oracle),
-    (Extras86.queries, Extras86.oracle)
+    (Extras86.queries, Extras86.oracle),
+    (Extras87.queries, Extras87.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
