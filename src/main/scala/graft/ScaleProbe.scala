@@ -512,7 +512,13 @@ object ScaleProbe {
       // per-row codec scan.
       "q_graph_ktruss" -> (d => SparkEntry.queries("q_graph_ktruss")(spark, d).count()),
       "q_llm_zipf_source" -> (d => SparkEntry.queries("q_llm_zipf_source")(spark, d).count()),
-      "q_fn_base64" -> (d => SparkEntry.queries("q_fn_base64")(spark, d).count())
+      "q_fn_base64" -> (d => SparkEntry.queries("q_fn_base64")(spark, d).count()),
+      // Round-11 part-15 heavyweights: sample_entropy is spine²
+      // (calendar-bounded — expect FLAT); 4cycles/closeness ride the
+      // co-occurrence wedge/BFS joins (Σdeg²-bounded like triangles).
+      "q_ts_sample_entropy" -> (d => SparkEntry.queries("q_ts_sample_entropy")(spark, d).count()),
+      "q_graph_4cycles" -> (d => SparkEntry.queries("q_graph_4cycles")(spark, d).count()),
+      "q_graph_closeness" -> (d => SparkEntry.queries("q_graph_closeness")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
