@@ -116,7 +116,8 @@ object SparkEntry {
     (Extras86.queries, Extras86.oracle),
     (Extras87.queries, Extras87.oracle),
     (Extras88.queries, Extras88.oracle),
-    (Extras89.queries, Extras89.oracle)
+    (Extras89.queries, Extras89.oracle),
+    (Extras90.queries, Extras90.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
