@@ -518,7 +518,11 @@ object ScaleProbe {
       // co-occurrence wedge/BFS joins (Σdeg²-bounded like triangles).
       "q_ts_sample_entropy" -> (d => SparkEntry.queries("q_ts_sample_entropy")(spark, d).count()),
       "q_graph_4cycles" -> (d => SparkEntry.queries("q_graph_4cycles")(spark, d).count()),
-      "q_graph_closeness" -> (d => SparkEntry.queries("q_graph_closeness")(spark, d).count())
+      "q_graph_closeness" -> (d => SparkEntry.queries("q_graph_closeness")(spark, d).count()),
+      // Round-11 part-16: both corpus-linear (token explode + grouped
+      // joins) — expect ≈K.
+      "q_llm_rake" -> (d => SparkEntry.queries("q_llm_rake")(spark, d).count()),
+      "q_llm_js_sources" -> (d => SparkEntry.queries("q_llm_js_sources")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
