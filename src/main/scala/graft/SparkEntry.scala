@@ -118,7 +118,8 @@ object SparkEntry {
     (Extras88.queries, Extras88.oracle),
     (Extras89.queries, Extras89.oracle),
     (Extras90.queries, Extras90.oracle),
-    (Extras91.queries, Extras91.oracle)
+    (Extras91.queries, Extras91.oracle),
+    (Extras92.queries, Extras92.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
