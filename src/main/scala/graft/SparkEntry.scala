@@ -119,7 +119,8 @@ object SparkEntry {
     (Extras89.queries, Extras89.oracle),
     (Extras90.queries, Extras90.oracle),
     (Extras91.queries, Extras91.oracle),
-    (Extras92.queries, Extras92.oracle)
+    (Extras92.queries, Extras92.oracle),
+    (Extras93.queries, Extras93.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
