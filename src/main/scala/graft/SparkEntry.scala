@@ -120,7 +120,8 @@ object SparkEntry {
     (Extras90.queries, Extras90.oracle),
     (Extras91.queries, Extras91.oracle),
     (Extras92.queries, Extras92.oracle),
-    (Extras93.queries, Extras93.oracle)
+    (Extras93.queries, Extras93.oracle),
+    (Extras94.queries, Extras94.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
