@@ -121,7 +121,8 @@ object SparkEntry {
     (Extras91.queries, Extras91.oracle),
     (Extras92.queries, Extras92.oracle),
     (Extras93.queries, Extras93.oracle),
-    (Extras94.queries, Extras94.oracle)
+    (Extras94.queries, Extras94.oracle),
+    (Extras95.queries, Extras95.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
