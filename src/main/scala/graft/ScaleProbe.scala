@@ -522,7 +522,15 @@ object ScaleProbe {
       // Round-11 part-16: both corpus-linear (token explode + grouped
       // joins) — expect ≈K.
       "q_llm_rake" -> (d => SparkEntry.queries("q_llm_rake")(spark, d).count()),
-      "q_llm_js_sources" -> (d => SparkEntry.queries("q_llm_js_sources")(spark, d).count())
+      "q_llm_js_sources" -> (d => SparkEntry.queries("q_llm_js_sources")(spark, d).count()),
+      // Round-11 part-17..21 heavyweights: cc_by_degree rides the
+      // co-occurrence wedge join (Σdeg²-bounded, triangles family);
+      // jonckheere folds group tallies over the bounded value spine;
+      // beta_rolling / drawdown_duration are calendar-spine windows.
+      "q_graph_cc_by_degree" -> (d => SparkEntry.queries("q_graph_cc_by_degree")(spark, d).count()),
+      "q_agg_jonckheere" -> (d => SparkEntry.queries("q_agg_jonckheere")(spark, d).count()),
+      "q_win_beta_rolling" -> (d => SparkEntry.queries("q_win_beta_rolling")(spark, d).count()),
+      "q_ts_drawdown_duration" -> (d => SparkEntry.queries("q_ts_drawdown_duration")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
