@@ -122,7 +122,8 @@ object SparkEntry {
     (Extras92.queries, Extras92.oracle),
     (Extras93.queries, Extras93.oracle),
     (Extras94.queries, Extras94.oracle),
-    (Extras95.queries, Extras95.oracle)
+    (Extras95.queries, Extras95.oracle),
+    (Extras96.queries, Extras96.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
