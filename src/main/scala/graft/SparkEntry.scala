@@ -123,7 +123,8 @@ object SparkEntry {
     (Extras93.queries, Extras93.oracle),
     (Extras94.queries, Extras94.oracle),
     (Extras95.queries, Extras95.oracle),
-    (Extras96.queries, Extras96.oracle)
+    (Extras96.queries, Extras96.oracle),
+    (Extras97.queries, Extras97.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
