@@ -125,7 +125,8 @@ object SparkEntry {
     (Extras95.queries, Extras95.oracle),
     (Extras96.queries, Extras96.oracle),
     (Extras97.queries, Extras97.oracle),
-    (Extras98.queries, Extras98.oracle)
+    (Extras98.queries, Extras98.oracle),
+    (Extras99.queries, Extras99.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
