@@ -126,7 +126,8 @@ object SparkEntry {
     (Extras96.queries, Extras96.oracle),
     (Extras97.queries, Extras97.oracle),
     (Extras98.queries, Extras98.oracle),
-    (Extras99.queries, Extras99.oracle)
+    (Extras99.queries, Extras99.oracle),
+    (Extras100.queries, Extras100.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
