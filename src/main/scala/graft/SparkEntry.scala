@@ -127,7 +127,8 @@ object SparkEntry {
     (Extras97.queries, Extras97.oracle),
     (Extras98.queries, Extras98.oracle),
     (Extras99.queries, Extras99.oracle),
-    (Extras100.queries, Extras100.oracle)
+    (Extras100.queries, Extras100.oracle),
+    (Extras101.queries, Extras101.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
