@@ -128,7 +128,8 @@ object SparkEntry {
     (Extras98.queries, Extras98.oracle),
     (Extras99.queries, Extras99.oracle),
     (Extras100.queries, Extras100.oracle),
-    (Extras101.queries, Extras101.oracle)
+    (Extras101.queries, Extras101.oracle),
+    (Extras102.queries, Extras102.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
