@@ -530,7 +530,18 @@ object ScaleProbe {
       "q_graph_cc_by_degree" -> (d => SparkEntry.queries("q_graph_cc_by_degree")(spark, d).count()),
       "q_agg_jonckheere" -> (d => SparkEntry.queries("q_agg_jonckheere")(spark, d).count()),
       "q_win_beta_rolling" -> (d => SparkEntry.queries("q_win_beta_rolling")(spark, d).count()),
-      "q_ts_drawdown_duration" -> (d => SparkEntry.queries("q_ts_drawdown_duration")(spark, d).count())
+      "q_ts_drawdown_duration" -> (d => SparkEntry.queries("q_ts_drawdown_duration")(spark, d).count()),
+      // Round-11 part-22..29: bm25/mattr/heaps/mtld are corpus-linear
+      // token pipelines (expect ≈K or better); croston is the per-part
+      // recurrence kernel; brunner_munzel folds the bounded value
+      // spine; nelson_aalen rides the customer-lifetime duration spine.
+      "q_llm_bm25" -> (d => SparkEntry.queries("q_llm_bm25")(spark, d).count()),
+      "q_llm_mattr" -> (d => SparkEntry.queries("q_llm_mattr")(spark, d).count()),
+      "q_llm_heaps_law" -> (d => SparkEntry.queries("q_llm_heaps_law")(spark, d).count()),
+      "q_llm_mtld" -> (d => SparkEntry.queries("q_llm_mtld")(spark, d).count()),
+      "q_ts_croston" -> (d => SparkEntry.queries("q_ts_croston")(spark, d).count()),
+      "q_agg_brunner_munzel" -> (d => SparkEntry.queries("q_agg_brunner_munzel")(spark, d).count()),
+      "q_evt_nelson_aalen" -> (d => SparkEntry.queries("q_evt_nelson_aalen")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
