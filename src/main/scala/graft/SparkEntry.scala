@@ -132,7 +132,8 @@ object SparkEntry {
     (Extras102.queries, Extras102.oracle),
     (Extras103.queries, Extras103.oracle),
     (Extras104.queries, Extras104.oracle),
-    (Extras105.queries, Extras105.oracle)
+    (Extras105.queries, Extras105.oracle),
+    (Extras106.queries, Extras106.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
