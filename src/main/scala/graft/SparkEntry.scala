@@ -133,7 +133,8 @@ object SparkEntry {
     (Extras103.queries, Extras103.oracle),
     (Extras104.queries, Extras104.oracle),
     (Extras105.queries, Extras105.oracle),
-    (Extras106.queries, Extras106.oracle)
+    (Extras106.queries, Extras106.oracle),
+    (Extras107.queries, Extras107.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
