@@ -134,7 +134,8 @@ object SparkEntry {
     (Extras104.queries, Extras104.oracle),
     (Extras105.queries, Extras105.oracle),
     (Extras106.queries, Extras106.oracle),
-    (Extras107.queries, Extras107.oracle)
+    (Extras107.queries, Extras107.oracle),
+    (Extras108.queries, Extras108.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
