@@ -136,7 +136,8 @@ object SparkEntry {
     (Extras106.queries, Extras106.oracle),
     (Extras107.queries, Extras107.oracle),
     (Extras108.queries, Extras108.oracle),
-    (Extras109.queries, Extras109.oracle)
+    (Extras109.queries, Extras109.oracle),
+    (Extras110.queries, Extras110.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
