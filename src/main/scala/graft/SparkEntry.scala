@@ -138,7 +138,8 @@ object SparkEntry {
     (Extras108.queries, Extras108.oracle),
     (Extras109.queries, Extras109.oracle),
     (Extras110.queries, Extras110.oracle),
-    (Extras111.queries, Extras111.oracle)
+    (Extras111.queries, Extras111.oracle),
+    (Extras112.queries, Extras112.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
