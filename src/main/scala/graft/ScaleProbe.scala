@@ -541,7 +541,22 @@ object ScaleProbe {
       "q_llm_mtld" -> (d => SparkEntry.queries("q_llm_mtld")(spark, d).count()),
       "q_ts_croston" -> (d => SparkEntry.queries("q_ts_croston")(spark, d).count()),
       "q_agg_brunner_munzel" -> (d => SparkEntry.queries("q_agg_brunner_munzel")(spark, d).count()),
-      "q_evt_nelson_aalen" -> (d => SparkEntry.queries("q_evt_nelson_aalen")(spark, d).count())
+      "q_evt_nelson_aalen" -> (d => SparkEntry.queries("q_evt_nelson_aalen")(spark, d).count()),
+      // Round-11 part-30..40 heavyweights: the adapted TPC-H star
+      // joins; MMR's corpus-linear scored scan + bounded greedy;
+      // Shapley's user fold; the dedup cascade's banded min-join;
+      // 4-gram coverage's two-phase top-k; tau-b's bounded cell walk;
+      // binary segmentation's two spine argmax passes.
+      "q_sql_q2a" -> (d => SparkEntry.queries("q_sql_q2a")(spark, d).count()),
+      "q_sql_q9a" -> (d => SparkEntry.queries("q_sql_q9a")(spark, d).count()),
+      "q_sql_q20a" -> (d => SparkEntry.queries("q_sql_q20a")(spark, d).count()),
+      "q_llm_mmr" -> (d => SparkEntry.queries("q_llm_mmr")(spark, d).count()),
+      "q_evt_attribution_shapley" -> (d => SparkEntry.queries("q_evt_attribution_shapley")(spark, d).count()),
+      "q_llm_dedup_cascade" -> (d => SparkEntry.queries("q_llm_dedup_cascade")(spark, d).count()),
+      "q_llm_ngram_coverage" -> (d => SparkEntry.queries("q_llm_ngram_coverage")(spark, d).count()),
+      "q_agg_tau_b" -> (d => SparkEntry.queries("q_agg_tau_b")(spark, d).count()),
+      "q_ts_binary_segmentation" -> (d => SparkEntry.queries("q_ts_binary_segmentation")(spark, d).count()),
+      "q_ts_haar_energy" -> (d => SparkEntry.queries("q_ts_haar_energy")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
