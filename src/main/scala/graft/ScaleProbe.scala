@@ -556,7 +556,12 @@ object ScaleProbe {
       "q_llm_ngram_coverage" -> (d => SparkEntry.queries("q_llm_ngram_coverage")(spark, d).count()),
       "q_agg_tau_b" -> (d => SparkEntry.queries("q_agg_tau_b")(spark, d).count()),
       "q_ts_binary_segmentation" -> (d => SparkEntry.queries("q_ts_binary_segmentation")(spark, d).count()),
-      "q_ts_haar_energy" -> (d => SparkEntry.queries("q_ts_haar_energy")(spark, d).count())
+      "q_ts_haar_energy" -> (d => SparkEntry.queries("q_ts_haar_energy")(spark, d).count()),
+      // Round-11 part-41/42: the 50-permutation md5 reassignment is
+      // the one deliberate fact×50 fan-out (linear, no materialized
+      // resamples); by_fdr joins the broadcast part dim.
+      "q_agg_permutation_test" -> (d => SparkEntry.queries("q_agg_permutation_test")(spark, d).count()),
+      "q_agg_by_fdr" -> (d => SparkEntry.queries("q_agg_by_fdr")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
