@@ -143,7 +143,8 @@ object SparkEntry {
     (Extras113.queries, Extras113.oracle),
     (Extras114.queries, Extras114.oracle),
     (Extras115.queries, Extras115.oracle),
-    (Extras116.queries, Extras116.oracle)
+    (Extras116.queries, Extras116.oracle),
+    (Extras117.queries, Extras117.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
