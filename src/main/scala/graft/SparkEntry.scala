@@ -144,7 +144,8 @@ object SparkEntry {
     (Extras114.queries, Extras114.oracle),
     (Extras115.queries, Extras115.oracle),
     (Extras116.queries, Extras116.oracle),
-    (Extras117.queries, Extras117.oracle)
+    (Extras117.queries, Extras117.oracle),
+    (Extras118.queries, Extras118.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
