@@ -145,7 +145,8 @@ object SparkEntry {
     (Extras115.queries, Extras115.oracle),
     (Extras116.queries, Extras116.oracle),
     (Extras117.queries, Extras117.oracle),
-    (Extras118.queries, Extras118.oracle)
+    (Extras118.queries, Extras118.oracle),
+    (Extras119.queries, Extras119.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
