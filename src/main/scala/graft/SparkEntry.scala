@@ -146,7 +146,8 @@ object SparkEntry {
     (Extras116.queries, Extras116.oracle),
     (Extras117.queries, Extras117.oracle),
     (Extras118.queries, Extras118.oracle),
-    (Extras119.queries, Extras119.oracle)
+    (Extras119.queries, Extras119.oracle),
+    (Extras120.queries, Extras120.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
