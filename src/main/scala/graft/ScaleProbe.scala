@@ -561,7 +561,19 @@ object ScaleProbe {
       // the one deliberate fact×50 fan-out (linear, no materialized
       // resamples); by_fdr joins the broadcast part dim.
       "q_agg_permutation_test" -> (d => SparkEntry.queries("q_agg_permutation_test")(spark, d).count()),
-      "q_agg_by_fdr" -> (d => SparkEntry.queries("q_agg_by_fdr")(spark, d).count())
+      "q_agg_by_fdr" -> (d => SparkEntry.queries("q_agg_by_fdr")(spark, d).count()),
+      // Round-11 parts 44-46: zipf_per_source ranks the (source, token)
+      // vocab relation (suffixed 8× vocabulary ⇒ linear keys);
+      // siegel_tukey is the one ordered pass over the two-priority
+      // slice (exact-median family — n·log n is the claim probed);
+      // bigram_jaccard self-joins the distinct (source, bigram)
+      // relation (posting-shaped: suffixed vocab keeps pairs linear);
+      // lombscargle crosses the calendar-bounded daily spine with the
+      // 28-row period spine (flat expected).
+      "q_llm_zipf_per_source" -> (d => SparkEntry.queries("q_llm_zipf_per_source")(spark, d).count()),
+      "q_agg_siegel_tukey" -> (d => SparkEntry.queries("q_agg_siegel_tukey")(spark, d).count()),
+      "q_llm_bigram_jaccard" -> (d => SparkEntry.queries("q_llm_bigram_jaccard")(spark, d).count()),
+      "q_ts_lombscargle" -> (d => SparkEntry.queries("q_ts_lombscargle")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
