@@ -147,7 +147,8 @@ object SparkEntry {
     (Extras117.queries, Extras117.oracle),
     (Extras118.queries, Extras118.oracle),
     (Extras119.queries, Extras119.oracle),
-    (Extras120.queries, Extras120.oracle)
+    (Extras120.queries, Extras120.oracle),
+    (Extras121.queries, Extras121.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
