@@ -148,7 +148,8 @@ object SparkEntry {
     (Extras118.queries, Extras118.oracle),
     (Extras119.queries, Extras119.oracle),
     (Extras120.queries, Extras120.oracle),
-    (Extras121.queries, Extras121.oracle)
+    (Extras121.queries, Extras121.oracle),
+    (Extras122.queries, Extras122.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
