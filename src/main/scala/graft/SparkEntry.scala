@@ -149,7 +149,8 @@ object SparkEntry {
     (Extras119.queries, Extras119.oracle),
     (Extras120.queries, Extras120.oracle),
     (Extras121.queries, Extras121.oracle),
-    (Extras122.queries, Extras122.oracle)
+    (Extras122.queries, Extras122.oracle),
+    (Extras123.queries, Extras123.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
