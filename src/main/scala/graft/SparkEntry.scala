@@ -150,7 +150,8 @@ object SparkEntry {
     (Extras120.queries, Extras120.oracle),
     (Extras121.queries, Extras121.oracle),
     (Extras122.queries, Extras122.oracle),
-    (Extras123.queries, Extras123.oracle)
+    (Extras123.queries, Extras123.oracle),
+    (Extras124.queries, Extras124.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
