@@ -151,7 +151,8 @@ object SparkEntry {
     (Extras121.queries, Extras121.oracle),
     (Extras122.queries, Extras122.oracle),
     (Extras123.queries, Extras123.oracle),
-    (Extras124.queries, Extras124.oracle)
+    (Extras124.queries, Extras124.oracle),
+    (Extras125.queries, Extras125.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Det, Tables}
+
+/** Round-11 additions, part 51: product-quantization ANN — the third
+  * index family beside IVF (`LlmSketches.scala:232`) and multiprobe
+  * LSH (`LlmSketches.scala:331`). The 64-dim embedding splits into 8
+  * subspaces of 8 dims; each subspace quantizes to its nearest of 8
+  * anchor codewords (vec_id 0..7, the q_llm_kmeans seed convention —
+  * a valid quantizer, stated as anchor-coded rather than
+  * Lloyd-trained); queries scan the CODE table through an
+  * asymmetric-distance (ADC) lookup instead of raw vectors — 8 adds
+  * per candidate instead of 64 multiplies, and the code table is
+  * 8 bytes/vector instead of 256: the memory-bound regime PQ exists
+  * for at 100 TB.
+  *
+  * Scale shape: encode is one fact×(8 codewords) broadcast join per
+  * subspace slice (linear); the ADC lookup table is 4 queries × 8
+  * subspaces × 8 codewords = 256 broadcast rows; candidate scoring is
+  * a fact-linear code join; top-10 per query is TWO-PHASE (local
+  * top-10 per (query, vec_id mod 32) salt, then global — the §2.13
+  * per-group-top-k discipline); the exact rerank touches only the 40
+  * surviving candidates.
+  *
+  * Determinism contract (SURVEY §2.13): components ride the
+  * DECIMAL(18,6) 6-dp quantization (q_llm_kmeans discipline); all
+  * distances are exact DECIMAL sums of DECIMAL(7,6)² terms; every
+  * argmin/top-k ties on the id (codeword id, vec_id); doubles appear
+  * only in the two r6 output columns.
+  */
+object Extras125 {
+  import Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_llm_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            .as("q"))
+        .withColumn("sub", expr("(dim - 1) div 8"))
+      val cb = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cw"), col("dim"), col("sub"),
+          col("q").as("cv"))
+      val diff = (col("q") - col("cv")).cast(DecimalType(7, 6))
+      // encode: nearest codeword per (vector, subspace)
+      val enc = e.join(broadcast(cb.select(col("cw"), col("dim"),
+          col("cv"))), "dim")
+        .groupBy(col("vec_id"), col("sub"), col("cw"))
+        .agg(sum(diff * diff).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("dist"), col("cw"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cw").as("code"))
+      // ADC lookup: query-subvector to codeword distances
+      val qe = e.where(col("vec_id").between(100, 103))
+        .select(col("vec_id").as("qid"), col("dim"), col("q"))
+      val adc = qe.join(broadcast(cb), "dim")
+        .groupBy(col("qid"), col("sub"), col("cw"))
+        .agg(sum(((col("q") - col("cv")).cast(DecimalType(7, 6))
+          * (col("q") - col("cv")).cast(DecimalType(7, 6)))).as("d_qc"))
+      // candidate scoring through the code table
+      val scored = enc.join(broadcast(adc),
+          enc("sub") === adc("sub") && enc("code") === adc("cw"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d_qc")).as("adc_dist"))
+        .where(col("vec_id") =!= col("qid"))
+      // two-phase top-10 per query
+      val local = scored
+        .withColumn("salt", pmod(col("vec_id"), lit(32)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"), col("salt"))
+            .orderBy(col("adc_dist"), col("vec_id"))))
+        .where(col("rn") <= 10)
+      val top = local
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
+      // exact rerank of the 40 survivors
+      val exact = top.join(e.select(col("vec_id"), col("dim"),
+          col("q").as("qv")), "vec_id")
+        .join(broadcast(qe.select(col("qid"), col("dim"),
+          col("q").as("qq"))), Seq("qid", "dim"))
+        .groupBy(col("qid"), col("rank"), col("vec_id"),
+          col("adc_dist"))
+        .agg(sum(((col("qv") - col("qq")).cast(DecimalType(7, 6))
+          * (col("qv") - col("qq")).cast(DecimalType(7, 6))))
+          .as("true_dist"))
+      exact.select(col("qid"), col("rank"), col("vec_id"),
+          r6(col("adc_dist").cast("double")).as("adc_dist"),
+          r6(col("true_dist").cast("double")).as("true_dist"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_llm_ann_pq" ->
+      """WITH x AS (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS (SELECT vec_id, dim, (dim - 1) // 8 AS sub,
+                    CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                         AS DECIMAL(18,6)) AS q
+                  FROM x),
+            cb AS (SELECT vec_id AS cw, dim, sub, q AS cv
+                   FROM e WHERE vec_id < 8),
+            encd AS (SELECT vec_id, sub, cw AS code FROM (
+                     SELECT e.vec_id, e.sub, cb.cw,
+                       row_number() OVER (PARTITION BY e.vec_id, e.sub
+                         ORDER BY SUM(CAST(e.q - cb.cv AS DECIMAL(7,6))
+                           * CAST(e.q - cb.cv AS DECIMAL(7,6))), cb.cw)
+                         AS rn
+                     FROM e JOIN cb ON e.dim = cb.dim
+                     GROUP BY e.vec_id, e.sub, cb.cw) t
+                   WHERE rn = 1),
+            qe AS (SELECT vec_id AS qid, dim, sub, q FROM e
+                   WHERE vec_id BETWEEN 100 AND 103),
+            adc AS (SELECT qe.qid, qe.sub, cb.cw,
+                      SUM(CAST(qe.q - cb.cv AS DECIMAL(7,6))
+                        * CAST(qe.q - cb.cv AS DECIMAL(7,6))) AS d_qc
+                    FROM qe JOIN cb ON qe.dim = cb.dim
+                    GROUP BY 1, 2, 3),
+            scored AS (SELECT adc.qid, encd.vec_id,
+                      SUM(adc.d_qc) AS adc_dist
+                    FROM encd JOIN adc
+                      ON encd.sub = adc.sub AND encd.code = adc.cw
+                    GROUP BY 1, 2
+                    HAVING encd.vec_id <> adc.qid),
+            top AS (SELECT qid, vec_id, adc_dist,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+                    FROM scored),
+            t10 AS (SELECT * FROM top WHERE rank <= 10),
+            ex AS (SELECT t10.qid, t10.rank, t10.vec_id, t10.adc_dist,
+                      SUM(CAST(ev.q - qe.q AS DECIMAL(7,6))
+                        * CAST(ev.q - qe.q AS DECIMAL(7,6)))
+                        AS true_dist
+                    FROM t10
+                    JOIN e ev ON ev.vec_id = t10.vec_id
+                    JOIN qe ON qe.qid = t10.qid AND qe.dim = ev.dim
+                    GROUP BY 1, 2, 3, 4)
+         SELECT qid, rank, vec_id,
+                round(CAST(adc_dist AS DOUBLE), 6) AS adc_dist,
+                round(CAST(true_dist AS DOUBLE), 6) AS true_dist
+         FROM ex ORDER BY qid, rank"""
+  )
+}
