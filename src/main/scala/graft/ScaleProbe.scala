@@ -573,7 +573,15 @@ object ScaleProbe {
       "q_llm_zipf_per_source" -> (d => SparkEntry.queries("q_llm_zipf_per_source")(spark, d).count()),
       "q_agg_siegel_tukey" -> (d => SparkEntry.queries("q_agg_siegel_tukey")(spark, d).count()),
       "q_llm_bigram_jaccard" -> (d => SparkEntry.queries("q_llm_bigram_jaccard")(spark, d).count()),
-      "q_ts_lombscargle" -> (d => SparkEntry.queries("q_ts_lombscargle")(spark, d).count())
+      "q_ts_lombscargle" -> (d => SparkEntry.queries("q_ts_lombscargle")(spark, d).count()),
+      // Round-11 parts 47-51: RAKE is the corpus-linear per-doc
+      // stopword-run window into vocab-bounded scoring; PQ's encode is
+      // fact×64-codeword broadcast; hampel rides the 25-day collect
+      // window; variogram is the calendar×30-lag self-join.
+      "q_llm_rake_keyphrases" -> (d => SparkEntry.queries("q_llm_rake_keyphrases")(spark, d).count()),
+      "q_llm_ann_pq" -> (d => SparkEntry.queries("q_llm_ann_pq")(spark, d).count()),
+      "q_win_hampel" -> (d => SparkEntry.queries("q_win_hampel")(spark, d).count()),
+      "q_ts_variogram" -> (d => SparkEntry.queries("q_ts_variogram")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -9,23 +9,25 @@ import graft.{Det, Tables}
 
 /** Round-11 additions, part 51: product-quantization ANN — the third
   * index family beside IVF (`LlmSketches.scala:232`) and multiprobe
-  * LSH (`LlmSketches.scala:331`). The 64-dim embedding splits into 8
-  * subspaces of 8 dims; each subspace quantizes to its nearest of 8
-  * anchor codewords (vec_id 0..7, the q_llm_kmeans seed convention —
-  * a valid quantizer, stated as anchor-coded rather than
-  * Lloyd-trained); queries scan the CODE table through an
-  * asymmetric-distance (ADC) lookup instead of raw vectors — 8 adds
-  * per candidate instead of 64 multiplies, and the code table is
-  * 8 bytes/vector instead of 256: the memory-bound regime PQ exists
-  * for at 100 TB.
+  * LSH (`LlmSketches.scala:331`), in the standard TWO-STAGE
+  * deployment: ADC candidate generation over the compact code table,
+  * then exact rerank of the survivors. The 64-dim embedding splits
+  * into 16 subspaces of 4 dims; each subspace quantizes to its
+  * nearest of 64 anchor codewords (vec_id 0..63, the q_llm_kmeans
+  * seed convention — a valid quantizer, stated as anchor-coded rather
+  * than Lloyd-trained); queries scan the CODE table through an
+  * asymmetric-distance (ADC) lookup — 16 adds per candidate instead
+  * of 64 multiplies, 16 bytes/vector instead of 256: the memory-bound
+  * regime PQ exists for at 100 TB. Config A/B'd in BASELINE.md
+  * (8×8 anchors→0.375 candidate recall; 16×64→0.975 at sf0.01).
   *
-  * Scale shape: encode is one fact×(8 codewords) broadcast join per
-  * subspace slice (linear); the ADC lookup table is 4 queries × 8
-  * subspaces × 8 codewords = 256 broadcast rows; candidate scoring is
-  * a fact-linear code join; top-10 per query is TWO-PHASE (local
-  * top-10 per (query, vec_id mod 32) salt, then global — the §2.13
-  * per-group-top-k discipline); the exact rerank touches only the 40
-  * surviving candidates.
+  * Scale shape: encode is one fact×(64 codewords) broadcast join per
+  * subspace slice (linear); the ADC lookup table is 4 queries × 16
+  * subspaces × 64 codewords = 4096 broadcast rows; candidate scoring
+  * is a fact-linear code join; the ADC top-100 per query is TWO-PHASE
+  * (local top-100 per (query, vec_id mod 32) salt, then global — the
+  * §2.13 per-group-top-k discipline); the exact rerank touches only
+  * the ≤400 surviving candidates.
   *
   * Determinism contract (SURVEY §2.13): components ride the
   * DECIMAL(18,6) 6-dp quantization (q_llm_kmeans discipline); all
@@ -45,8 +47,8 @@ object Extras125 {
         .select(col("vec_id"), (col("pos") + 1).as("dim"),
           round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             .as("q"))
-        .withColumn("sub", expr("(dim - 1) div 8"))
-      val cb = e.where(col("vec_id") < 8)
+        .withColumn("sub", expr("(dim - 1) div 4"))
+      val cb = e.where(col("vec_id") < 64)
         .select(col("vec_id").as("cw"), col("dim"), col("sub"),
           col("q").as("cv"))
       val diff = (col("q") - col("cv")).cast(DecimalType(7, 6))
@@ -73,30 +75,35 @@ object Extras125 {
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d_qc")).as("adc_dist"))
         .where(col("vec_id") =!= col("qid"))
-      // two-phase top-10 per query
+      // two-phase ADC top-100 per query (candidate generation)
       val local = scored
         .withColumn("salt", pmod(col("vec_id"), lit(32)))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid"), col("salt"))
             .orderBy(col("adc_dist"), col("vec_id"))))
-        .where(col("rn") <= 10)
-      val top = local
-        .withColumn("rank", row_number().over(
+        .where(col("rn") <= 100)
+      val cand = local
+        .withColumn("crank", row_number().over(
           Window.partitionBy(col("qid"))
-            .orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
-        .where(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("vec_id"), col("adc_dist"))
-      // exact rerank of the 40 survivors
-      val exact = top.join(e.select(col("vec_id"), col("dim"),
+            .orderBy(col("adc_dist"), col("vec_id"))))
+        .where(col("crank") <= 100)
+        .select(col("qid"), col("vec_id"), col("adc_dist"))
+      // exact rerank of the <=400 survivors; final top-10 by TRUE
+      // distance
+      val exact = cand.join(e.select(col("vec_id"), col("dim"),
           col("q").as("qv")), "vec_id")
         .join(broadcast(qe.select(col("qid"), col("dim"),
           col("q").as("qq"))), Seq("qid", "dim"))
-        .groupBy(col("qid"), col("rank"), col("vec_id"),
-          col("adc_dist"))
+        .groupBy(col("qid"), col("vec_id"), col("adc_dist"))
         .agg(sum(((col("qv") - col("qq")).cast(DecimalType(7, 6))
           * (col("qv") - col("qq")).cast(DecimalType(7, 6))))
           .as("true_dist"))
-      exact.select(col("qid"), col("rank"), col("vec_id"),
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("true_dist"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
           r6(col("adc_dist").cast("double")).as("adc_dist"),
           r6(col("true_dist").cast("double")).as("true_dist"))
         .orderBy(col("qid"), col("rank"))
@@ -109,12 +116,12 @@ object Extras125 {
       """WITH x AS (SELECT vec_id, embedding,
                       unnest(generate_series(1, len(embedding))) AS dim
                     FROM embeddings),
-            e AS (SELECT vec_id, dim, (dim - 1) // 8 AS sub,
+            e AS (SELECT vec_id, dim, (dim - 1) // 4 AS sub,
                     CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
                          AS DECIMAL(18,6)) AS q
                   FROM x),
             cb AS (SELECT vec_id AS cw, dim, sub, q AS cv
-                   FROM e WHERE vec_id < 8),
+                   FROM e WHERE vec_id < 64),
             encd AS (SELECT vec_id, sub, cw AS code FROM (
                      SELECT e.vec_id, e.sub, cb.cw,
                        row_number() OVER (PARTITION BY e.vec_id, e.sub
@@ -137,22 +144,27 @@ object Extras125 {
                       ON encd.sub = adc.sub AND encd.code = adc.cw
                     GROUP BY 1, 2
                     HAVING encd.vec_id <> adc.qid),
-            top AS (SELECT qid, vec_id, adc_dist,
-                      CAST(row_number() OVER (PARTITION BY qid
-                        ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
-                    FROM scored),
-            t10 AS (SELECT * FROM top WHERE rank <= 10),
-            ex AS (SELECT t10.qid, t10.rank, t10.vec_id, t10.adc_dist,
+            cand AS (SELECT qid, vec_id, adc_dist FROM (
+                     SELECT qid, vec_id, adc_dist,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_dist, vec_id) AS crank
+                     FROM scored) t
+                   WHERE crank <= 100),
+            ex AS (SELECT cand.qid, cand.vec_id, cand.adc_dist,
                       SUM(CAST(ev.q - qe.q AS DECIMAL(7,6))
                         * CAST(ev.q - qe.q AS DECIMAL(7,6)))
                         AS true_dist
-                    FROM t10
-                    JOIN e ev ON ev.vec_id = t10.vec_id
-                    JOIN qe ON qe.qid = t10.qid AND qe.dim = ev.dim
-                    GROUP BY 1, 2, 3, 4)
+                    FROM cand
+                    JOIN e ev ON ev.vec_id = cand.vec_id
+                    JOIN qe ON qe.qid = cand.qid AND qe.dim = ev.dim
+                    GROUP BY 1, 2, 3),
+            rk AS (SELECT qid, vec_id, adc_dist, true_dist,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY true_dist, vec_id) AS BIGINT) AS rank
+                    FROM ex)
          SELECT qid, rank, vec_id,
                 round(CAST(adc_dist AS DOUBLE), 6) AS adc_dist,
                 round(CAST(true_dist AS DOUBLE), 6) AS true_dist
-         FROM ex ORDER BY qid, rank"""
+         FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
   )
 }
