@@ -154,7 +154,8 @@ object SparkEntry {
     (Extras124.queries, Extras124.oracle),
     (Extras125.queries, Extras125.oracle),
     (Extras126.queries, Extras126.oracle),
-    (Extras127.queries, Extras127.oracle)
+    (Extras127.queries, Extras127.oracle),
+    (Extras128.queries, Extras128.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
