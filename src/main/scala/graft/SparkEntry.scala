@@ -155,7 +155,8 @@ object SparkEntry {
     (Extras125.queries, Extras125.oracle),
     (Extras126.queries, Extras126.oracle),
     (Extras127.queries, Extras127.oracle),
-    (Extras128.queries, Extras128.oracle)
+    (Extras128.queries, Extras128.oracle),
+    (Extras129.queries, Extras129.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
