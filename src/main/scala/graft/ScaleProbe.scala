@@ -581,7 +581,17 @@ object ScaleProbe {
       "q_llm_rake_keyphrases" -> (d => SparkEntry.queries("q_llm_rake_keyphrases")(spark, d).count()),
       "q_llm_ann_pq" -> (d => SparkEntry.queries("q_llm_ann_pq")(spark, d).count()),
       "q_win_hampel" -> (d => SparkEntry.queries("q_win_hampel")(spark, d).count()),
-      "q_ts_variogram" -> (d => SparkEntry.queries("q_ts_variogram")(spark, d).count())
+      "q_ts_variogram" -> (d => SparkEntry.queries("q_ts_variogram")(spark, d).count()),
+      // Round-11 parts 55-58: cindex folds a bounded grid (flat
+      // expected); hoeffding/apen/rqa ride the broadcast calendar²
+      // pair spine (flat — the kendall claim); median_boot's pick
+      // spine is 50×calendar; welch is segments×harmonics bounded.
+      "q_evt_cindex" -> (d => SparkEntry.queries("q_evt_cindex")(spark, d).count()),
+      "q_ts_hoeffding_d" -> (d => SparkEntry.queries("q_ts_hoeffding_d")(spark, d).count()),
+      "q_ts_approx_entropy" -> (d => SparkEntry.queries("q_ts_approx_entropy")(spark, d).count()),
+      "q_ts_rqa" -> (d => SparkEntry.queries("q_ts_rqa")(spark, d).count()),
+      "q_ts_median_boot_ci" -> (d => SparkEntry.queries("q_ts_median_boot_ci")(spark, d).count()),
+      "q_ts_welch" -> (d => SparkEntry.queries("q_ts_welch")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
