@@ -74,7 +74,8 @@ object FixtureCache {
     "orders_compacted"        -> "q_layout_compaction",
     "orders_mor_base"         -> "q_scan_merge_on_read",
     "orders_mor_delta"        -> "q_scan_merge_on_read",
-    "orders_tsv"              -> "q_source_tsv"
+    "orders_tsv"              -> "q_source_tsv",
+    "orders_fixedwidth"       -> "q_source_fixedwidth"
   )
 
   private lazy val root: Path = {
