@@ -591,7 +591,15 @@ object ScaleProbe {
       "q_ts_approx_entropy" -> (d => SparkEntry.queries("q_ts_approx_entropy")(spark, d).count()),
       "q_ts_rqa" -> (d => SparkEntry.queries("q_ts_rqa")(spark, d).count()),
       "q_ts_median_boot_ci" -> (d => SparkEntry.queries("q_ts_median_boot_ci")(spark, d).count()),
-      "q_ts_welch" -> (d => SparkEntry.queries("q_ts_welch")(spark, d).count())
+      "q_ts_welch" -> (d => SparkEntry.queries("q_ts_welch")(spark, d).count()),
+      // Round-11 parts 59-62: PPR iterates the micro-rank kernel over
+      // the 8× edge relation (pagerank's shape); elbow/standardize are
+      // corpus-linear embedding folds; fixedwidth times the text
+      // round-trip (write + parse).
+      "q_graph_ppr" -> (d => SparkEntry.queries("q_graph_ppr")(spark, d).count()),
+      "q_llm_kmeans_elbow" -> (d => SparkEntry.queries("q_llm_kmeans_elbow")(spark, d).count()),
+      "q_llm_embed_standardize" -> (d => SparkEntry.queries("q_llm_embed_standardize")(spark, d).count()),
+      "q_source_fixedwidth" -> (d => SparkEntry.queries("q_source_fixedwidth")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
