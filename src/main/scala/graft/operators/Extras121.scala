@@ -92,17 +92,27 @@ object Extras121 {
       val ties = sp.select(col("v"), col("lj")).distinct()
         .agg(sum(col("lj").cast(Big) * col("lj").cast(Big)
           * col("lj").cast(Big) - col("lj").cast(Big)).as("tt"))
-      val nD = col("n").cast("double")
-      val tD = col("t2").cast("double") / lit(2.0)
-      val et = (nD + 1) / lit(2.0) * col("l1").cast("double")
-      val vr = (nD + 1) / lit(12.0) *
-        (nD * col("l2").cast("double")
-          - col("l1").cast("double") * col("l1").cast("double")) / nD *
-        (lit(1.0) - col("tt").cast("double") /
-          (nD * nD * nD - nD))
+      // Exact-integer restructure (round-11 verdict): the former
+      // ~10-op double chain sat on a cross-engine round(x,6)
+      // knife-edge. Numerator 2*(T - E[T]) = t2 - (n+1)*l1 and
+      // vr = B/C with B = (n+1)*(n*l2 - l1^2)*(n^3 - n - tt),
+      // C = 12*n*(n^3 - n) are exact DECIMAL(38,0)/HUGEINT; the
+      // shared IEEE tail is 3 correctly-rounded ops (div, sqrt,
+      // div; /2.0 is exact) — engine-exact per the q_agg_gini
+      // precedent. B peaks ~4e35 at sf0.1, inside both 38-digit
+      // decimal and 128-bit HUGEINT.
+      val nB = col("n").cast(Big)
+      val aNum = col("t2") - (nB + 1) * col("l1").cast(Big)
+      val n3n = nB * nB * nB - nB
+      val bNum = (nB + 1) *
+        (nB * col("l2").cast(Big)
+          - col("l1").cast(Big) * col("l1").cast(Big)) *
+        (n3n - col("tt"))
+      val cDen = lit(12).cast(Big) * nB * n3n
       agg.crossJoin(broadcast(ties))
         .select(col("n").as("n_rows"), col("t2").as("t2_stat"),
-          r6((tD - et) / sqrt(vr)).as("z"))
+          r6((aNum.cast("double") / lit(2.0)) /
+            sqrt(bNum.cast("double") / cDen.cast("double"))).as("z"))
     }),
 
     // CATEGORICAL DRIFT χ² — event_type mix of the first vs second
@@ -232,15 +242,24 @@ object Extras121 {
                       * CAST(lj AS HUGEINT) - CAST(lj AS HUGEINT))
                       AS HUGEINT) AS tt
                   FROM (SELECT DISTINCT v, lj FROM sp)),
-            f AS (SELECT CAST(n AS DOUBLE) AS nD,
-                    CAST(t2 AS DOUBLE) / 2.0 AS tD,
-                    CAST(l1 AS DOUBLE) AS l1D, CAST(l2 AS DOUBLE) AS l2D,
-                    CAST(tt AS DOUBLE) AS ttD, n, t2
+            f AS (SELECT n, t2,
+                    t2 - (CAST(n AS HUGEINT) + 1) * CAST(l1 AS HUGEINT)
+                      AS a_num,
+                    (CAST(n AS HUGEINT) + 1)
+                      * (CAST(n AS HUGEINT) * CAST(l2 AS HUGEINT)
+                         - CAST(l1 AS HUGEINT) * CAST(l1 AS HUGEINT))
+                      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                           * CAST(n AS HUGEINT)
+                         - CAST(n AS HUGEINT) - tt) AS b_num,
+                    12 * CAST(n AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                           * CAST(n AS HUGEINT)
+                         - CAST(n AS HUGEINT)) AS c_den
                   FROM a, t)
          SELECT n AS n_rows, t2 AS t2_stat,
-                round((tD - (nD + 1) / 2.0 * l1D)
-                  / sqrt((nD + 1) / 12.0 * (nD * l2D - l1D * l1D) / nD
-                       * (1.0 - ttD / (nD * nD * nD - nD))), 6) AS z
+                round((CAST(a_num AS DOUBLE) / 2.0)
+                  / sqrt(CAST(b_num AS DOUBLE) / CAST(c_den AS DOUBLE)),
+                  6) AS z
          FROM f""",
 
     "q_dq_drift_chi2" ->
