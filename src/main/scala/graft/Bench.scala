@@ -56,8 +56,15 @@ object Bench {
     // either direction). Fixture/layout builds stay OUTSIDE the timed
     // loop (prewarm above). A failing query is not re-sampled — one
     // loud failure, one recorded elapsed.
-    val samplesN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3")
-      .toInt.max(1)
+    // A malformed env value must degrade to the default, not abort the
+    // whole bench before any query is timed (round-11 advice).
+    val samplesN = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").trim.toInt)
+      .getOrElse {
+        System.err.println("[bench] bad SPARK_GRAFT_BENCH_SAMPLES " +
+          s"'${sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "")}', using 3")
+        3
+      }.max(1)
     val samples = SparkEntry.queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
@@ -83,14 +90,19 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = samples.map { case (k, ts) => k -> median(ts) }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Aggregate bands mix only HEALTHY timings: a query that failed on
+    // some sample contributes a meaningless (often near-zero) elapsed,
+    // which would deflate total/sum_min/sum_max (round-11 advice). Its
+    // per-sample detail stays visible in `samples` and `failed`.
+    val okSamples = samples.filterNot { case (k, _) => failed.contains(k) }
+    val total = okSamples.map { case (_, ts) => median(ts) }.sum
     // Variance line: bounds the host-noise band of THIS run. sum_min is
     // the best-case total (every query at its fastest sample), sum_max
     // the worst; high_var_n counts queries whose slowest sample exceeded
     // 2× their median AND 0.5 s — the signature of a host-load spike.
-    val sumMin = samples.values.map(_.min).sum
-    val sumMax = samples.values.map(_.max).sum
-    val highVar = samples.filter { case (_, ts) =>
+    val sumMin = okSamples.values.map(_.min).sum
+    val sumMax = okSamples.values.map(_.max).sum
+    val highVar = okSamples.filter { case (_, ts) =>
       ts.max > 2 * median(ts) && ts.max - median(ts) > 0.5 }.keys.toSeq.sorted
     // The stdout contract line must survive a harness that keeps only the
     // LAST ~2000 characters of output. Round 7 proved every part of the

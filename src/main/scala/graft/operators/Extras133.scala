@@ -39,13 +39,21 @@ object Extras133 {
     // round-trip exact.
     "q_source_fixedwidth" -> ((s, d) => {
       val tmp = FixtureCache.ensure("orders_fixedwidth",
-        Seq(s"$d/orders.parquet"), "fw v1") { dest =>
+        Seq(s"$d/orders.parquet"), "fw v2") { dest =>
+        // Spark's lpad silently TRUNCATES inputs longer than the pad
+        // width; at a scale where orderkey or cents exceeds 12 digits
+        // that would corrupt the round-trip silently. Fail loudly
+        // instead (round-11 advice).
+        def fw12(c: org.apache.spark.sql.Column, what: String) =
+          when(length(c) > 12,
+            raise_error(concat(lit(s"fixedwidth $what overflows 12 chars: "),
+              c))).otherwise(lpad(c, 12, "0"))
         Tables.orders(s, d)
           .select(concat(
-            lpad(col("o_orderkey").cast("string"), 12, "0"),
+            fw12(col("o_orderkey").cast("string"), "o_orderkey"),
             substring(col("o_orderpriority"), 1, 1),
-            lpad((dec(col("o_totalprice")) * 100).cast("long")
-              .cast("string"), 12, "0")).as("value"))
+            fw12((dec(col("o_totalprice")) * 100).cast("long")
+              .cast("string"), "cents")).as("value"))
           .coalesce(2)
           .write.text(dest)
       }

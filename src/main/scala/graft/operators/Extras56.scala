@@ -47,23 +47,33 @@ object Extras56 {
     * (the oracle's `states` CTE — closure applies to edges, not to the
     * initial mass assignment). */
   private[operators] def stationaryVec(s: SparkSession, d: String): DataFrame = {
-    val closed = transClosed(s, d)
-    val states = transRs(s, d).select(col("src").as("state")).distinct()
-    val k = org.apache.spark.sql.expressions.Window
-      .orderBy(col("state"))
-    val init = states
-      .withColumn("rk", row_number().over(k))
-      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
-      .select(col("state"),
-        (expr("1000000 div ns")
-          + when(col("rk") === 1, expr("1000000 % ns")).otherwise(0L))
-          .as("v"))
-    (1 to 12).foldLeft(init) { (v, _) =>
-      v.join(closed, col("state") === col("src"))
-        .select(col("dst"), expr("v * n div rs").as("m"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("v"))
-        .select(col("dst").as("state"), col("v"))
+    import s.implicits._
+    // Bounded driver fold (the Components scalar pattern; round-11
+    // verdict item 7): both relations are event-type-alphabet-bounded
+    // (edges ≤|types|², states ≤|types| at ANY data scale), so the 12
+    // power-iteration rounds were pure job-orchestration overhead as
+    // distributed queries. Collect them once and iterate locally in
+    // the IDENTICAL exact integer-micro arithmetic (truncating
+    // division on non-negative values — same on both engines and in
+    // Scala Long division).
+    val edges = transClosed(s, d)
+      .select(col("src"), col("dst"), col("n"), col("rs")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val states = transRs(s, d).select(col("src")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (states.isEmpty) return Seq.empty[(String, Long)].toDF("state", "v")
+    val ns = states.length.toLong
+    var v: Map[String, Long] = states.zipWithIndex.map { case (st, i) =>
+      st -> (1000000L / ns + (if (i == 0) 1000000L % ns else 0L))
+    }.toMap
+    for (_ <- 1 to 12) {
+      v = edges.iterator
+        .flatMap { case (src, dst, n, rs) =>
+          v.get(src).map(x => dst -> x * n / rs) }
+        .toSeq.groupBy(_._1)
+        .map { case (k2, xs) => k2 -> xs.map(_._2).sum }
     }
+    v.toSeq.sortBy(_._1).toDF("state", "v")
   }
   import Det._
 

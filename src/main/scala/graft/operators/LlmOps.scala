@@ -159,6 +159,11 @@ object LlmOps {
         else for {
           i <- v.indices.iterator
           j <- (i + 1 until v.length).iterator
+          // Guard against (doc, doc) self-pairs: two distinct shingles
+          // of the same doc colliding to one 60-bit key would put the
+          // doc twice in this posting list, while both oracles exclude
+          // self-pairs via a.doc_id < b.doc_id (round-11 advice).
+          if v(i)._1 != v(j)._1
         } yield (v(i)._1, v(i)._3, v(j)._1, v(j)._3)
       }
       .toDF("doc_a", "na", "doc_b", "nb")
