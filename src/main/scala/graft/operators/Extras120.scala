@@ -35,12 +35,11 @@ object Extras120 {
 
   private val Big = DecimalType(38, 0)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // LOMB-SCARGLE — power at trial periods 2..30 days over the
-    // mean-centered daily revenue (millions), with the classical
-    // variance normalization.
-    "q_ts_lombscargle" -> ((s, d) => {
+  /** Shared Lomb-Scargle periodogram core — (p, n_days, power, s2)
+    * per trial period 3..30: the chain behind q_ts_lombscargle, also
+    * consumed by the round-12 false-alarm readout
+    * (q_ts_lombscargle_fap). */
+  private def lombCore(s: SparkSession, d: String): DataFrame = {
       val daily = Tables.orders(s, d)
         .groupBy(to_date(col("o_orderdate")).as("dt"))
         .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("y"))
@@ -102,8 +101,47 @@ object Extras120 {
         - col("sc").cast(Big) * col("sc").cast(Big)).cast("double") /
         lit(1e16) /
         (col("nn").cast("double") * (col("nn") - 1).cast("double"))
-      ph2.select(col("p").as("period_days"), col("n_days"),
-          r6(power).as("ls_power"), r6(power / s2).as("ls_norm"))
+      ph2.select(col("p"), col("n_days"),
+        power.as("power"), s2.as("s2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LOMB-SCARGLE — power at trial periods 2..30 days over the
+    // mean-centered daily revenue (millions), with the classical
+    // variance normalization.
+    "q_ts_lombscargle" -> ((s, d) =>
+      lombCore(s, d)
+        .select(col("p").as("period_days"), col("n_days"),
+          r6(col("power")).as("ls_power"),
+          r6(col("power") / col("s2")).as("ls_norm"))
+        .orderBy(col("period_days"))),
+
+    // LOMB-SCARGLE FALSE-ALARM PROBABILITY (round-11 verdict item 9 —
+    // the periodogram shipped without its significance readout):
+    // Scargle's closed-form M-test FAP(z) = 1 − (1 − e^{−z})^M with
+    // M = 28 independent trial frequencies. The normalized power z is
+    // nano-quantized FIRST on both engines (shared rounding boundary),
+    // e^{−z} is nano-quantized next, and the 28th power is an explicit
+    // multiplication chain (b²→b⁴→b⁸→b¹⁶, b²⁸ = b¹⁶·b⁸·b⁴) of
+    // correctly-rounded IEEE multiplies — never pow(), whose last-ulp
+    // behavior differs across engines.
+    "q_ts_lombscargle_fap" -> ((s, d) => {
+      val base = lombCore(s, d)
+        .withColumn("z9",
+          round(col("power") / col("s2") * lit(1e9)).cast("long"))
+        .withColumn("em9",
+          round(exp(-(col("z9").cast("double") / lit(1e9))) * lit(1e9))
+            .cast("long"))
+        .withColumn("b1",
+          (lit(1000000000L) - col("em9")).cast("double") / lit(1e9))
+      val b2 = col("b1") * col("b1")
+      val b4 = b2 * b2
+      val b8 = b4 * b4
+      val b16 = b8 * b8
+      base.select(col("p").as("period_days"), col("n_days"),
+          r6(col("z9").cast("double") / lit(1e9)).as("z"),
+          r6(lit(1.0) - b16 * b8 * b4).as("fap"))
         .orderBy(col("period_days"))
     }),
 
@@ -163,10 +201,10 @@ object Extras120 {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-
-    "q_ts_lombscargle" ->
-      """WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE)
+  /** Shared SQL core of the Lomb-Scargle oracles — CTE chain through
+    * f(p, n_days, power, s2), mirroring lombCore. */
+  private val lombCoreSql: String =
+      """daily AS (SELECT CAST(CAST(o_orderdate AS DATE)
                       - DATE '1970-01-01' AS BIGINT) AS td,
                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                          AS BIGINT)) AS BIGINT) AS y
@@ -224,11 +262,38 @@ object Extras120 {
                       AS DOUBLE) / 1e16
                       / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))
                       AS s2
-                  FROM ph2)
+                  FROM ph2)"""
+
+  val oracle: Map[String, String] = Map(
+
+    "q_ts_lombscargle" ->
+      s"""WITH $lombCoreSql
          SELECT p AS period_days, n_days,
                 round(power, 6) AS ls_power,
                 round(power / s2, 6) AS ls_norm
          FROM f ORDER BY period_days""",
+
+    "q_ts_lombscargle_fap" ->
+      s"""WITH $lombCoreSql,
+            zq AS (SELECT p, n_days,
+                    CAST(round(power / s2 * 1e9) AS BIGINT) AS z9
+                  FROM f),
+            em AS (SELECT p, n_days, z9,
+                    CAST(round(exp(-(CAST(z9 AS DOUBLE) / 1e9)) * 1e9)
+                      AS BIGINT) AS em9
+                  FROM zq),
+            b1t AS (SELECT p, n_days, z9,
+                    CAST(1000000000 - em9 AS DOUBLE) / 1e9 AS b1
+                  FROM em),
+            b2t AS (SELECT p, n_days, z9, b1 * b1 AS b2 FROM b1t),
+            b4t AS (SELECT p, n_days, z9, b2 * b2 AS b4, b2 FROM b2t),
+            b8t AS (SELECT p, n_days, z9, b4 * b4 AS b8, b4 FROM b4t),
+            b16t AS (SELECT p, n_days, z9, b8 * b8 AS b16, b8, b4
+                     FROM b8t)
+         SELECT p AS period_days, n_days,
+                round(CAST(z9 AS DOUBLE) / 1e9, 6) AS z,
+                round(1.0 - b16 * b8 * b4, 6) AS fap
+         FROM b16t ORDER BY period_days""",
 
     "q_evt_winback" ->
       """WITH days AS (SELECT DISTINCT o_custkey AS c,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, Tables}
+
+/** Round-12 additions, part 2: directed strongly-connected components
+  * (round-11 verdict item 5 — the graph kit was undirected-complete
+  * but event flows are directed) and the stream-stream FULL-outer
+  * join (verdict item 6 — the both-side-null twin of
+  * q_stream_live_louter's watermark-holdback pattern).
+  *
+  * Scale shape: scc builds its directed edge relation from one
+  * events pass (per-(hour,type) first-touch chains over the sampled
+  * user population); reachability closes by PATH DOUBLING —
+  * O(log diameter) rounds, each a (reach ⋈ reach) equi-join, with
+  * per-round localCheckpoint exactly like Components. The closure is
+  * per-SCC quadratic (within an SCC everyone reaches everyone), which
+  * is the honest cost of EXACT SCC listing; at 100 TB the production
+  * variant peels FW-BW per color so only one pivot's
+  * reachable/reaching sets materialize per round — same primitive,
+  * bounded memory — while this formulation keeps the whole closure
+  * because the oracle (a recursive CTE) must see the identical set.
+  * The fouter join is watermark-bounded state on both sides, sharded
+  * by user key.
+  *
+  * Determinism contract (SURVEY §2.13): scc edges order by the exact
+  * (first-touch µs, user) pair; scc_id = min over the mutual-reach
+  * set ∪ self — pure integer min, no IEEE anywhere. fouter emits
+  * null-padded rows only STRICTLY inside the decided region (both
+  * cutoffs at max_ts − 90 min, the louter contract, applied to
+  * whichever side survives), so micro-batch scheduling cannot leak
+  * into the result set.
+  */
+object Extras138 {
+  import Det._
+
+  /** Directed first-touch chain edges over (hour, event_type) buckets
+    * of the sampled (user_id%7==0) population — the directed sibling
+    * of Extras11.undirectedEdges. */
+  private def directedEdges(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .where(pmod(col("user_id"), lit(7L)) === 0)
+      .groupBy(date_trunc("hour", col("ts")).as("h"),
+        col("event_type").as("t"), col("user_id").as("u"))
+      .agg(min(tsUs(col("ts"))).as("t0"))
+    val w = Window.partitionBy(col("h"), col("t"))
+      .orderBy(col("t0"), col("u"))
+    v.withColumn("nxt", lead(col("u"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("u"))
+      .select(col("u").as("src"), col("nxt").as("dst"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DIRECTED SCC — scc_id(u) = min over {u} ∪ {v : u ⇝ v ∧ v ⇝ u}.
+    // Reachability closes by path doubling (R ← R ∪ R∘R) to a
+    // count fixpoint; the mutual set is one self-join of the closure
+    // on swapped endpoints.
+    "q_graph_scc" -> ((s, d) => {
+      val edges = directedEdges(s, d).localCheckpoint()
+      val nodes = edges.select(col("src").as("u"))
+        .unionByName(edges.select(col("dst").as("u"))).distinct()
+      var r = edges.select(col("src").as("s"), col("dst").as("t"))
+        .localCheckpoint()
+      var n = r.count()
+      var grown = true
+      while (grown) {
+        val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
+          .select(col("a.s").as("s"), col("b.t").as("t"))
+        val nr = r.unionByName(r2).distinct().localCheckpoint()
+        val nn = nr.count()
+        grown = nn != n
+        n = nn
+        r = nr
+      }
+      val mut = r.as("x").join(r.as("y"),
+          col("x.s") === col("y.t") && col("x.t") === col("y.s"))
+        .select(col("x.s").as("u"), col("x.t").as("v"))
+      nodes.join(mut.groupBy(col("u")).agg(min(col("v")).as("mv")),
+          Seq("u"), "left")
+        .select(col("u"),
+          least(col("u"), coalesce(col("mv"), col("u"))).as("scc_id"))
+        .orderBy("u")
+    }),
+
+    // STREAM-STREAM FULL-OUTER JOIN — purchases ⟗ clicks within the
+    // 1-hour lookback, null rows on EITHER side once the GLOBAL
+    // watermark (the MIN across both inputs: mx − 70 min, clicks')
+    // has decided them. An unmatched purchase is decided when that
+    // watermark passes p_ts (boundary mx − 70 min; filtered strictly
+    // inside at mx − 90 min, the louter contract); an unmatched CLICK
+    // only when it passes c_ts + 1 h — boundary mx − 130 min, so its
+    // strict cutoff sits at mx − 150 min. Both engines state the same
+    // two-sided cutoffs.
+    "q_stream_live_fouter" -> ((s, d) => {
+      val events = graft.streaming.StreamOps.eventsFileStream(s, d)
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour 10 minutes")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"),
+        "full_outer")
+        .select(col("p_id"), col("p_user"), col("c_id"), col("c_user"),
+          col("p_ts"), col("c_ts"))
+      val sink = graft.streaming.StreamOps
+        .runToMemoryAppend(joined, "live_fouter")
+      val mx = Tables.events(s, d).agg(max(tsUs(col("ts"))).as("mx_us"))
+      sink.crossJoin(broadcast(mx))
+        .where((col("p_id").isNotNull && col("c_id").isNotNull)
+          || (col("c_id").isNull
+            && tsUs(col("p_ts")) < col("mx_us") - lit(5400000000L))
+          || (col("p_id").isNull
+            && tsUs(col("c_ts")) < col("mx_us") - lit(9000000000L)))
+        .select(col("p_id"),
+          coalesce(col("p_user"), col("c_user")).as("u"),
+          col("c_id"), tsUs(col("p_ts")).as("p_us"),
+          tsUs(col("c_ts")).as("c_us"))
+        // explicit NULLS LAST: Spark defaults nulls-first on ASC,
+        // DuckDB nulls-last — and p_id IS null on click-only rows.
+        .orderBy(col("p_id").asc_nulls_last, col("c_id").asc_nulls_last)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_graph_scc" ->
+      """WITH RECURSIVE
+            v AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS h,
+                    event_type AS t, user_id AS u,
+                    min(epoch_us(ts::TIMESTAMP)) AS t0
+                  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2, 3),
+            ch AS (SELECT u AS src, lead(u) OVER (PARTITION BY h, t
+                     ORDER BY t0, u) AS dst FROM v),
+            e AS (SELECT DISTINCT src, dst FROM ch
+                  WHERE dst IS NOT NULL AND dst <> src),
+            r(s, t) AS (SELECT src, dst FROM e
+                        UNION
+                        SELECT r.s, e.dst FROM r JOIN e ON e.src = r.t),
+            nodes AS (SELECT src AS u FROM e UNION SELECT dst FROM e),
+            mut AS (SELECT x.s AS u, x.t AS v
+                    FROM r x JOIN r y ON y.s = x.t AND y.t = x.s)
+         SELECT n.u,
+                least(n.u, COALESCE(MIN(m.v), n.u)) AS scc_id
+         FROM nodes n LEFT JOIN mut m ON m.u = n.u
+         GROUP BY n.u ORDER BY n.u""",
+
+    "q_stream_live_fouter" ->
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id,
+                           event_type FROM events),
+            p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                  FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                  FROM e WHERE event_type = 'click'),
+            m AS (SELECT max(ts) AS mx FROM e),
+            j AS (SELECT p_id, p_user, c_id, c_user, p_ts, c_ts
+                  FROM p FULL OUTER JOIN c
+                    ON p_user = c_user
+                   AND c_ts >= p_ts - INTERVAL 1 HOUR
+                   AND c_ts <= p_ts)
+         SELECT p_id, COALESCE(p_user, c_user) AS u, c_id,
+                epoch_us(p_ts) AS p_us, epoch_us(c_ts) AS c_us
+         FROM j CROSS JOIN m
+         WHERE (p_id IS NOT NULL AND c_id IS NOT NULL)
+            OR (c_id IS NULL
+                AND epoch_us(p_ts) < epoch_us(mx) - 5400000000)
+            OR (p_id IS NULL
+                AND epoch_us(c_ts) < epoch_us(mx) - 9000000000)
+         ORDER BY p_id NULLS LAST, c_id NULLS LAST"""
+  )
+}
