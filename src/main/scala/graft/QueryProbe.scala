@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused bench-condition probe (round-11 verdict item 2): times
+  * individual graded keys in EXACTLY the Bench session (same master,
+  * shuffle partitions, AQE coalesce setting, warmups) so a driver-run
+  * anomaly can be reproduced or attributed. Keys before `--` run
+  * untimed (JVM/session state conditioning — e.g. the heavy keys that
+  * precede the suspect in a full bench run); keys after `--` are
+  * timed individually, and the LAST timed key also prints its
+  * formatted plan.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *   sbt "runMain graft.QueryProbe [warm keys...] -- <timed keys...>"
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val sep = args.indexOf("--")
+    val (warm, timed) =
+      if (sep < 0) (Array.empty[String], args)
+      else (args.take(sep), args.drop(sep + 1))
+    for (k <- warm) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(k)(spark, sfDir).count()
+      println(f"[probe] warm  $k ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    for ((k, i) <- timed.zipWithIndex) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(k)(spark, sfDir).count()
+      println(f"[probe] timed $k ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (i == timed.length - 1 && sys.env.contains("SPARK_GRAFT_PROBE_PLAN"))
+        SparkEntry.queries(k)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
