@@ -175,7 +175,7 @@ object Extras17 {
     })
   )
 
-  private val KcoreSql = {
+  private[operators] val KcoreSql = {
     val rounds = (1 to 3).map { r =>
       val prev = s"e${r - 1}"
       s"""k$r AS (SELECT src AS u FROM $prev GROUP BY src
