@@ -612,7 +612,31 @@ object ScaleProbe {
       "q_graph_scc" -> (d => SparkEntry.queries("q_graph_scc")(spark, d).count()),
       "q_stream_live_fouter" -> (d => SparkEntry.queries("q_stream_live_fouter")(spark, d).count()),
       "q_win_listagg" -> (d => SparkEntry.queries("q_win_listagg")(spark, d).count()),
-      "q_ts_lombscargle_fap" -> (d => SparkEntry.queries("q_ts_lombscargle_fap")(spark, d).count())
+      "q_ts_lombscargle_fap" -> (d => SparkEntry.queries("q_ts_lombscargle_fap")(spark, d).count()),
+      // Round-12 parts 3-6: scc_dag reuses the closure kernel plus one
+      // edge-label join; cdc_chunk is the corpus-linear explode+window;
+      // adstock's 31-day lookback is a broadcast non-equi join over the
+      // calendar-bounded spine; activation/sign_test/kendall_w/
+      // shrunk_mean are fact-fold + bounded-grid shapes; the two source
+      // keys time LAYOUT BUILD + PARSE together (fixedwidth convention);
+      // sample_weighted is one pass + TakeOrdered heaps.
+      "q_graph_scc_dag" -> (d => SparkEntry.queries("q_graph_scc_dag")(spark, d).count()),
+      "q_llm_cdc_chunk" -> (d => SparkEntry.queries("q_llm_cdc_chunk")(spark, d).count()),
+      "q_evt_adstock" -> (d => SparkEntry.queries("q_evt_adstock")(spark, d).count()),
+      "q_evt_activation" -> (d => SparkEntry.queries("q_evt_activation")(spark, d).count()),
+      "q_agg_kendall_w" -> (d => SparkEntry.queries("q_agg_kendall_w")(spark, d).count()),
+      "q_agg_sign_test" -> (d => SparkEntry.queries("q_agg_sign_test")(spark, d).count()),
+      "q_ts_sen_seasonal" -> (d => SparkEntry.queries("q_ts_sen_seasonal")(spark, d).count()),
+      "q_agg_shrunk_mean" -> (d => SparkEntry.queries("q_agg_shrunk_mean")(spark, d).count()),
+      "q_source_decimal128" -> (d => SparkEntry.queries("q_source_decimal128")(spark, d).count()),
+      "q_source_csv_newlines" -> (d => SparkEntry.queries("q_source_csv_newlines")(spark, d).count()),
+      "q_graph_core_density" -> (d => SparkEntry.queries("q_graph_core_density")(spark, d).count()),
+      "q_scan_sample_weighted" -> (d => SparkEntry.queries("q_scan_sample_weighted")(spark, d).count()),
+      "q_sql_groupby_all" -> (d => SparkEntry.queries("q_sql_groupby_all")(spark, d).count()),
+      "q_sql_values_join" -> (d => SparkEntry.queries("q_sql_values_join")(spark, d).count()),
+      "q_sql_lateral_view" -> (d => SparkEntry.queries("q_sql_lateral_view")(spark, d).count()),
+      "q_ts_page_hinkley_two" -> (d => SparkEntry.queries("q_ts_page_hinkley_two")(spark, d).count()),
+      "q_stream_live_complete" -> (d => SparkEntry.queries("q_stream_live_complete")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
