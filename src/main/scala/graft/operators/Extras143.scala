@@ -38,8 +38,8 @@ object Extras143 {
       val cells = Tables.events(s, d)
         .groupBy(hour(col("ts")).cast("long").as("h"))
         .agg(count(lit(1)).as("n"))
-      val ang = col("h").cast("double") * lit(2.0) * lit(math.Pi)
-        / lit(24.0)
+      val ang = col("h").cast("double") * lit(2.0) * lit(math.Pi) /
+        lit(24.0)
       val t = cells
         .withColumn("sn", (round(sin(ang) * 1e9)).cast("long") * col("n"))
         .withColumn("cn", (round(cos(ang) * 1e9)).cast("long") * col("n"))
@@ -97,7 +97,7 @@ object Extras143 {
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .withColumn("share",
           col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
-      val expect = log(lit(10.0),
+      val expect = log(10.0,
         lit(1.0) + lit(1.0) / col("digit").cast("double"))
       digits
         .withColumn("dev_nano",
