@@ -636,7 +636,29 @@ object ScaleProbe {
       "q_sql_values_join" -> (d => SparkEntry.queries("q_sql_values_join")(spark, d).count()),
       "q_sql_lateral_view" -> (d => SparkEntry.queries("q_sql_lateral_view")(spark, d).count()),
       "q_ts_page_hinkley_two" -> (d => SparkEntry.queries("q_ts_page_hinkley_two")(spark, d).count()),
-      "q_stream_live_complete" -> (d => SparkEntry.queries("q_stream_live_complete")(spark, d).count())
+      "q_stream_live_complete" -> (d => SparkEntry.queries("q_stream_live_complete")(spark, d).count()),
+      // Round-12 parts 7-10: circular/benford/trimean/ml keys fold the
+      // fact table into bounded spines; sentences/charclass are
+      // corpus-linear regex passes; velocity is one user-shuffle RANGE
+      // window; attribution_decay is the per-user purchase×touch
+      // window join; pvm/new_vs_returning ride calendar/custkey
+      // shuffles; string4/array3 are codegen'd projections.
+      "q_ts_circular_hour" -> (d => SparkEntry.queries("q_ts_circular_hour")(spark, d).count()),
+      "q_llm_sentences" -> (d => SparkEntry.queries("q_llm_sentences")(spark, d).count()),
+      "q_evt_velocity_max" -> (d => SparkEntry.queries("q_evt_velocity_max")(spark, d).count()),
+      "q_agg_benford_mad" -> (d => SparkEntry.queries("q_agg_benford_mad")(spark, d).count()),
+      "q_fn_string4" -> (d => SparkEntry.queries("q_fn_string4")(spark, d).count()),
+      "q_sql_unpivot" -> (d => SparkEntry.queries("q_sql_unpivot")(spark, d).count()),
+      "q_dq_temporal_order" -> (d => SparkEntry.queries("q_dq_temporal_order")(spark, d).count()),
+      "q_evt_new_vs_returning" -> (d => SparkEntry.queries("q_evt_new_vs_returning")(spark, d).count()),
+      "q_ml_f1_sweep" -> (d => SparkEntry.queries("q_ml_f1_sweep")(spark, d).count()),
+      "q_ml_calibration" -> (d => SparkEntry.queries("q_ml_calibration")(spark, d).count()),
+      "q_llm_charclass" -> (d => SparkEntry.queries("q_llm_charclass")(spark, d).count()),
+      "q_agg_price_volume" -> (d => SparkEntry.queries("q_agg_price_volume")(spark, d).count()),
+      "q_evt_attribution_decay" -> (d => SparkEntry.queries("q_evt_attribution_decay")(spark, d).count()),
+      "q_dq_domain" -> (d => SparkEntry.queries("q_dq_domain")(spark, d).count()),
+      "q_agg_trimean" -> (d => SparkEntry.queries("q_agg_trimean")(spark, d).count()),
+      "q_fn_array3" -> (d => SparkEntry.queries("q_fn_array3")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
