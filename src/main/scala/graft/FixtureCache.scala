@@ -75,7 +75,10 @@ object FixtureCache {
     "orders_mor_base"         -> "q_scan_merge_on_read",
     "orders_mor_delta"        -> "q_scan_merge_on_read",
     "orders_tsv"              -> "q_source_tsv",
-    "orders_fixedwidth"       -> "q_source_fixedwidth"
+    "orders_fixedwidth"       -> "q_source_fixedwidth",
+    "minhash_sig_store"       -> "q_llm_dedup_incremental",
+    "part_csv_newlines"       -> "q_source_csv_newlines",
+    "orders_decimal128"       -> "q_source_decimal128"
   )
 
   private lazy val root: Path = {
