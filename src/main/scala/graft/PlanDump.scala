@@ -56,7 +56,12 @@ object PlanDump {
     "q_evt_basket_pairs" -> "market-basket lift: pair join rides the (order, brand) relation — candidates bounded by orders×C(brands/order,2); marginals broadcast; exact integer micro-lift ranking",
     "q_ts_lttb" -> "LTTB downsampling: zone stats broadcast both ways (wid±1), per-bucket argmax on an exact integer cross product — one window pass over the calendar spine",
     "q_llm_ppl_buckets" -> "CCNet perplexity terciles: vocabulary-sized count relations broadcast under the doc agg; the global ntile rides the document grain (distributed-quantile cut at 100 TB)",
-    "q_agg_spearman" -> "Spearman rank corr: customer-grain ranking windows (dimension-sized), all five moment sums one BIGINT HashAggregate, rho one IEEE tail"
+    "q_agg_spearman" -> "Spearman rank corr: customer-grain ranking windows (dimension-sized), all five moment sums one BIGINT HashAggregate, rho one IEEE tail",
+    "q_llm_ann_ivfpq" -> "IVF-PQ: corpus-linear encode (fact × broadcast codebook), adaptive coarse cells broadcast-assigned, ADC scan CELL-PRUNED to nprobe/#cells of the code table, ≤400-row exact rerank",
+    "q_llm_dedup_incremental" -> "incremental dedup: batch-linear signatures, banded equi-join against the persisted store parquet, raw-shingle verify on candidates only",
+    "q_graph_scc" -> "directed SCC: path-doubling closure (log-rounds, localCheckpoint each), mutual-min labels — closure-sized shuffles, no driver loop over data",
+    "q_evt_adstock" -> "adstock: calendar-bounded daily spine × broadcast 31-day lookback, exact shift-halving terms, one groupBy",
+    "q_scan_sample_weighted" -> "weighted sample: one codegen'd projection (md5 uniform → ln(u)/w priority), global TakeOrderedAndProject heaps"
   )
 
   def main(args: Array[String]): Unit = {
