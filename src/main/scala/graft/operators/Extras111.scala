@@ -34,15 +34,18 @@ object Extras111 {
 
     // SESSION THRESHOLD SENSITIVITY — total sessions, mean
     // sessions/user at gap thresholds {5, 15, 30, 60} minutes: one
-    // per-user gap relation ⋈ broadcast thresholds.
+    // per-user gap relation ⋈ broadcast thresholds. Gaps diff in
+    // EXACT µs against thr*1e6 (round-12 sf0.1 knife-edge: Spark
+    // unix_timestamp() truncates to whole seconds while the
+    // oracle's epoch() keeps fractional µs, so a gap inside
+    // (900, 901) straddled `> thr` differently — playbook rule).
     "q_evt_session_thresholds" -> ((s, d) => {
       val wU = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val gaps = Tables.events(s, d)
         .withColumn("prev", lag(col("ts"), 1).over(wU))
         .select(col("user_id"),
-          (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
-            .as("gap_s"))
+          (tsUs(col("ts")) - tsUs(col("prev"))).as("gap_us"))
       val thr = s.createDataFrame(Seq(
         Tuple1(300L), Tuple1(900L), Tuple1(1800L), Tuple1(3600L)))
         .toDF("thr_s")
@@ -50,7 +53,7 @@ object Extras111 {
         .agg(countDistinct(col("user_id")).as("n_users"))
       gaps.crossJoin(broadcast(thr))
         .groupBy(col("thr_s"))
-        .agg(sum(when(col("gap_s") > col("thr_s"), 1L)
+        .agg(sum(when(col("gap_us") > col("thr_s") * lit(1000000L), 1L)
           .otherwise(lit(0L))).as("n_breaks"))
         .crossJoin(broadcast(users))
         .select(col("thr_s"),
@@ -137,15 +140,17 @@ object Extras111 {
 
     "q_evt_session_thresholds" ->
       """WITH gaps AS (SELECT user_id,
-                    epoch(ts) - epoch(lag(ts, 1) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      AS gap_s
+                    epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts, 1) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                      ::TIMESTAMP) AS gap_us
                  FROM events),
             u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
                     AS n_users FROM events),
             thr AS (SELECT UNNEST([300, 900, 1800, 3600]) AS thr_s),
             m AS (SELECT thr_s,
-                    CAST(SUM(CASE WHEN gap_s > thr_s THEN 1 ELSE 0 END)
+                    CAST(SUM(CASE WHEN gap_us >
+                        CAST(thr_s AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
                       AS BIGINT) AS n_breaks
                   FROM gaps, thr GROUP BY 1)
          SELECT CAST(thr_s AS BIGINT) AS thr_s,

@@ -19,7 +19,9 @@ import graft.{Det, Tables}
   * spine; Wilson/risk-ratio are single exact-count folds.
   *
   * Determinism contract (SURVEY §2.13): Haar details are EXACT
-  * integer half-block differences (energy summed in DECIMAL(38,0));
+  * integer half-block differences (energy summed in DECIMAL(38,0),
+  * EMITTED as the exact dollars² BIGINT e div 10000 — a >2^53
+  * integer must never cross to double, playbook rule);
   * the stump argmin orders by the one shared impurity chain with the
   * threshold as tiebreak; Wilson and the risk CI are single IEEE
   * chains over exact integers.
@@ -48,11 +50,18 @@ object Extras112 {
         .agg(count(lit(1)).as("c"),
           sum(col("y") * (col("lft") * 2 - 1)).as("det"))
         .where(col("c") === col("bs"))
+      // Emission rule (round-12 sf0.1 knife-edge): e ≈ 1.3e20 cents²
+      // at sf0.1 exceeds 2^53, and DuckDB's HUGEINT→DOUBLE cast is
+      // NOT correctly rounded there (two 64-bit-half roundings)
+      // while Spark's Decimal→double is — last-ulp divergence. So
+      // never cast the exact integer to double: emit the EXACT
+      // dollars² integer e div 10000 (≈1.3e16 at sf0.1, BIGINT
+      // until ~sf1 daily-revenue magnitudes), no IEEE anywhere.
       blocks.groupBy(col("k"))
         .agg(count(lit(1)).as("n_blocks"),
           sum(col("det").cast(Big) * col("det").cast(Big)).as("e"))
         .select(col("k").as("level"), col("n_blocks"),
-          r6(col("e").cast("double") / 1e4).as("energy_dollars2"))
+          expr("cast(e div 10000 as bigint)").as("energy_dollars2"))
         .orderBy(col("level"))
     }),
 
@@ -157,7 +166,7 @@ object Extras112 {
                     SUM(CAST(det AS HUGEINT) * CAST(det AS HUGEINT)) AS e
                   FROM blocks WHERE c = bs GROUP BY 1)
          SELECT CAST(k AS BIGINT) AS level, n_blocks,
-                round(CAST(e AS DOUBLE) / 1e4, 6) AS energy_dollars2
+                CAST(e // 10000 AS BIGINT) AS energy_dollars2
          FROM e ORDER BY level""",
 
     "q_agg_gini_stump" ->

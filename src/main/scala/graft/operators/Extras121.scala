@@ -26,8 +26,9 @@ import graft.{Det, Tables}
   * min_by/max_by on the unique day key (arg_min/arg_max in the
   * oracle); ln chains are shared expressions of exact cents. Cuzick
   * keeps DOUBLED midranks (2·Bprev + l + 1) so every rank sum is an
-  * exact integer (T2 in DECIMAL(38,0)); the tie term Σ(l³−l) rides
-  * DECIMAL(38,0); z is one IEEE tail. drift_chi2 materializes the
+  * exact integer (T2 accumulates in DECIMAL(38,0), EMITS as BIGINT —
+  * no 128-bit output cells, round-12 verdict); the tie term Σ(l³−l)
+  * rides DECIMAL(38,0); z is one IEEE tail. drift_chi2 materializes the
   * full type×2 grid (absent cells as 0) and nano-quantizes per-cell
   * terms. RAKE phrases join tokens back in exact position order
   * (string_agg ORDER BY / array_sort(struct(pos, w))); phrase scores
@@ -95,22 +96,32 @@ object Extras121 {
       // Exact-integer restructure (round-11 verdict): the former
       // ~10-op double chain sat on a cross-engine round(x,6)
       // knife-edge. Numerator 2*(T - E[T]) = t2 - (n+1)*l1 and
-      // vr = B/C with B = (n+1)*(n*l2 - l1^2)*(n^3 - n - tt),
-      // C = 12*n*(n^3 - n) are exact DECIMAL(38,0)/HUGEINT; the
-      // shared IEEE tail is 3 correctly-rounded ops (div, sqrt,
-      // div; /2.0 is exact) — engine-exact per the q_agg_gini
-      // precedent. B peaks ~4e35 at sf0.1, inside both 38-digit
-      // decimal and 128-bit HUGEINT.
+      // vr = B/C are exact DECIMAL(38,0)/HUGEINT; the shared IEEE
+      // tail is 3 correctly-rounded ops (div, sqrt, div; /2.0 is
+      // exact) — engine-exact per the q_agg_gini precedent.
+      // Round-12 ADVICE headroom restructure: the textbook
+      // B = (n+1)*(n*l2 - l1^2)*(n^3 - n - tt) peaked ~4e35 at
+      // sf0.1 (~n^6 growth — silent DECIMAL(38,0) overflow at a
+      // 3-4x larger input). B and C = 12*n*(n^3 - n) share the
+      // EXACT factor (n+1) (since n^3 - n = n(n-1)(n+1)); dividing
+      // it out of both BEFORE the triple product leaves
+      // B' = (n*l2 - l1^2)*(n^3 - n - tt)  (~2.6e29 at sf0.1) and
+      // C' = 12*n^2*(n-1), moving the overflow horizon to ~50x
+      // sf0.1 with the identical 3-op IEEE tail.
+      // t2_stat emits as BIGINT (~1.4e10, 8 digits of headroom):
+      // 128-bit output cells are the one driver-hash-fragile class
+      // (round-12 verdict; fenced by OutputSchemaSpec).
       val nB = col("n").cast(Big)
       val aNum = col("t2") - (nB + 1) * col("l1").cast(Big)
       val n3n = nB * nB * nB - nB
-      val bNum = (nB + 1) *
+      val bNum =
         (nB * col("l2").cast(Big)
           - col("l1").cast(Big) * col("l1").cast(Big)) *
         (n3n - col("tt"))
-      val cDen = lit(12).cast(Big) * nB * n3n
+      val cDen = lit(12).cast(Big) * nB * nB * (nB - 1)
       agg.crossJoin(broadcast(ties))
-        .select(col("n").as("n_rows"), col("t2").as("t2_stat"),
+        .select(col("n").as("n_rows"),
+          col("t2").cast("long").as("t2_stat"),
           r6((aNum.cast("double") / lit(2.0)) /
             sqrt(bNum.cast("double") / cDen.cast("double"))).as("z"))
     }),
@@ -245,18 +256,15 @@ object Extras121 {
             f AS (SELECT n, t2,
                     t2 - (CAST(n AS HUGEINT) + 1) * CAST(l1 AS HUGEINT)
                       AS a_num,
-                    (CAST(n AS HUGEINT) + 1)
-                      * (CAST(n AS HUGEINT) * CAST(l2 AS HUGEINT)
-                         - CAST(l1 AS HUGEINT) * CAST(l1 AS HUGEINT))
+                    (CAST(n AS HUGEINT) * CAST(l2 AS HUGEINT)
+                       - CAST(l1 AS HUGEINT) * CAST(l1 AS HUGEINT))
                       * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
                            * CAST(n AS HUGEINT)
                          - CAST(n AS HUGEINT) - tt) AS b_num,
-                    12 * CAST(n AS HUGEINT)
-                      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
-                           * CAST(n AS HUGEINT)
-                         - CAST(n AS HUGEINT)) AS c_den
+                    12 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                      * (CAST(n AS HUGEINT) - 1) AS c_den
                   FROM a, t)
-         SELECT n AS n_rows, t2 AS t2_stat,
+         SELECT n AS n_rows, CAST(t2 AS BIGINT) AS t2_stat,
                 round((CAST(a_num AS DOUBLE) / 2.0)
                   / sqrt(CAST(b_num AS DOUBLE) / CAST(c_den AS DOUBLE)),
                   6) AS z

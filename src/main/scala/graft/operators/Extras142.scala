@@ -23,9 +23,10 @@ import graft.{Det, FixtureCache, Tables}
   * Determinism contract (SURVEY §2.13): group sums/counts are exact
   * integers; the shrinkage chain (grand mean, (s_i + λg)/(n_i + λ))
   * is the identical shared IEEE tree on both engines; activation
-  * lags are exact µs integer buckets; the decimal sums never leave
-  * DECIMAL until the final r6 column; density is one division of
-  * exact counts.
+  * lags are exact µs integer buckets; the decimal sums stay exact
+  * DECIMAL internally and EMIT as units+remainder BIGINT pairs
+  * (no 128-bit output cells — round-12 verdict class); density is
+  * one division of exact counts.
   */
 object Extras142 {
   import Det._
@@ -102,11 +103,30 @@ object Extras142 {
           .coalesce(2)
           .write.parquet(dest)
       }
+      // The DECIMAL(38,10) sum stays exact end to end, but EMITS as
+      // two BIGINTs (whole units + 1e-10 remainder): 128-bit output
+      // cells are the one driver-hash-fragile class (round-12
+      // verdict — the only two decimal128-emitting keys were the
+      // only two red rows while their values agreed exactly).
+      // The split pivots through exact CENTS: d38 = cents-valued
+      // DECIMAL(18,2) * 12345 has exactly 2 significant fraction
+      // digits, so sd38*100 is integral (~4.6e15 at sf0.01 — BIGINT
+      // until ~sf10) and the decimal->BIGINT cast is exact on both
+      // engines (Spark truncates, DuckDB rounds — identical on an
+      // integral value); units/remainder are then pure BIGINT
+      // div/mod, no floor()-on-decimal or double anywhere. The
+      // round-trip proof is unchanged: both halves must match the
+      // oracle's sum over raw orders to the last 1e-10.
       s.read.parquet(tmp)
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("key_checksum"),
-          sum(col("d38")).cast(DecimalType(38, 10)).as("sum_d38"),
+          sum(col("d38")).cast(DecimalType(38, 10)).as("sd38"),
           sum(col("d9")).cast(DecimalType(18, 2)).as("sum_d9"))
+        .withColumn("cents", (col("sd38") * 100).cast("long"))
+        .select(col("n"), col("key_checksum"),
+          expr("cents div 100").as("sum_d38_units"),
+          (expr("cents % 100") * lit(100000000L)).as("sum_d38_rem10"),
+          col("sum_d9"))
     }),
 
     // MAX-CORE DENSITY — edge density of the subgraph surviving the
@@ -179,14 +199,22 @@ object Extras142 {
          FROM c ORDER BY bucket""",
 
     "q_source_decimal128" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                     AS DECIMAL(38,10)) * 12345) AS DECIMAL(38,10))
-                  AS sum_d38,
+                  AS sd38,
                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                     AS DECIMAL(9,2))) AS DECIMAL(18,2)) AS sum_d9
-         FROM orders""",
+         FROM orders),
+            c AS (SELECT n, key_checksum, sum_d9,
+                CAST(sd38 * 100 AS BIGINT) AS cents
+         FROM s)
+         SELECT n, key_checksum,
+                cents // 100 AS sum_d38_units,
+                (cents % 100) * 100000000 AS sum_d38_rem10,
+                sum_d9
+         FROM c""",
 
     "q_graph_core_density" ->
       s"""WITH ${Extras11.GraphSql},

@@ -12,7 +12,7 @@ class Extras112Spec extends QuerySuiteBase {
         assert(b.getLong(1) <= a.getLong(1) / 2 + 1)
       case _ =>
     }
-    rows.foreach(r => assert(r.getDouble(2) >= 0))
+    rows.foreach(r => assert(r.getLong(2) >= 0))
   }
 
   test("stump: gain nonnegative, impurity below the root") {

@@ -18,7 +18,7 @@ class Extras121Spec extends QuerySuiteBase {
   test("cuzick: T within the exact doubled-rank support") {
     val r = q("q_agg_cuzick").head()
     val n = r.getLong(0)
-    val t2 = r.getDecimal(1).longValueExact()
+    val t2 = r.getLong(1)
     // every mr2 is in [2, 2N] and every g in [1, 7]
     assert(t2 >= 2 * n && t2 <= 7L * 2 * n * n)
   }

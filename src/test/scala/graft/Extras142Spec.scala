@@ -39,7 +39,12 @@ class Extras142Spec extends QuerySuiteBase {
           .cast(org.apache.spark.sql.types.DecimalType(38, 10))))
       .head()
     assert(r.getLong(0) == src.getLong(0))
-    assert(r.getDecimal(2) == src.getDecimal(1))
+    // units + 1e-10 remainder reconstructs the exact decimal sum
+    val rebuilt = BigDecimal(r.getLong(2)) +
+      BigDecimal(r.getLong(3)) / BigDecimal(10000000000L)
+    assert(rebuilt == BigDecimal(src.getDecimal(1)),
+      s"units/rem split $rebuilt != exact fold ${src.getDecimal(1)}")
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 10000000000L)
   }
 
   test("core density: every surviving node has degree >= 2") {
