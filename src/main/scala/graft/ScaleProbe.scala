@@ -720,7 +720,9 @@ object ScaleProbe {
       println(f"recall $key%-18s 1x=$r1%4.2f ${k}x=$rk%4.2f (top-5 vs in-label brute force)")
     }
     // IVF-PQ recall@10 vs the brute-force exact L2 top-10 per query
-    // (queries 100..103, the key's own spine) — measures the coarse
+    // (queries 0..3, the key's own spine; qids derive from the query
+    // output below — 100..103 was only the A/B recorded in
+    // BASELINE.md) — measures the coarse
     // cell-prune + ADC loss against ground truth, averaged over the 4
     // queries. Double L2 over the same 6-dp quantized components is
     // fine for a set metric.

@@ -95,13 +95,14 @@ object Extras138 {
 
     // STREAM-STREAM FULL-OUTER JOIN — purchases ⟗ clicks within the
     // 1-hour lookback, null rows on EITHER side once the GLOBAL
-    // watermark (the MIN across both inputs: mx − 70 min, clicks')
-    // has decided them. An unmatched purchase is decided when that
-    // watermark passes p_ts (boundary mx − 70 min; filtered strictly
-    // inside at mx − 90 min, the louter contract); an unmatched CLICK
-    // only when it passes c_ts + 1 h — boundary mx − 130 min, so its
-    // strict cutoff sits at mx − 150 min. Both engines state the same
-    // two-sided cutoffs.
+    // watermark (the MIN across both inputs) has decided them.
+    // Round-12 ADVICE: the watermark derives from EACH SIDE'S OWN
+    // max event time (Spark tracks per-side maxima), not the global
+    // max ts: wm = min(max p_ts − 10 min, max c_ts − 70 min). An
+    // unmatched purchase is decided when wm passes p_ts (strict
+    // cutoff wm − 20 min margin); an unmatched CLICK only when wm
+    // passes c_ts + 1 h (strict cutoff wm − 80 min). Both engines
+    // state the same two-sided cutoffs from the same per-side maxima.
     "q_stream_live_fouter" -> ((s, d) => {
       val events = graft.streaming.StreamOps.eventsFileStream(s, d)
       val purchases = events.where(col("event_type") === "purchase")
@@ -121,13 +122,17 @@ object Extras138 {
           col("p_ts"), col("c_ts"))
       val sink = graft.streaming.StreamOps
         .runToMemoryAppend(joined, "live_fouter")
-      val mx = Tables.events(s, d).agg(max(tsUs(col("ts"))).as("mx_us"))
-      sink.crossJoin(broadcast(mx))
+      val wm = Tables.events(s, d).agg(least(
+        max(when(col("event_type") === "purchase", tsUs(col("ts"))))
+          - lit(600000000L),
+        max(when(col("event_type") === "click", tsUs(col("ts"))))
+          - lit(4200000000L)).as("wm_us"))
+      sink.crossJoin(broadcast(wm))
         .where((col("p_id").isNotNull && col("c_id").isNotNull)
           || (col("c_id").isNull
-            && tsUs(col("p_ts")) < col("mx_us") - lit(5400000000L))
+            && tsUs(col("p_ts")) < col("wm_us") - lit(1200000000L))
           || (col("p_id").isNull
-            && tsUs(col("c_ts")) < col("mx_us") - lit(9000000000L)))
+            && tsUs(col("c_ts")) < col("wm_us") - lit(4800000000L)))
         .select(col("p_id"),
           coalesce(col("p_user"), col("c_user")).as("u"),
           col("c_id"), tsUs(col("p_ts")).as("p_us"),
@@ -173,7 +178,12 @@ object Extras138 {
                   FROM e WHERE event_type = 'purchase'),
             c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
                   FROM e WHERE event_type = 'click'),
-            m AS (SELECT max(ts) AS mx FROM e),
+            m AS (SELECT least(
+                    max(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) - 600000000,
+                    max(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) - 4200000000) AS wm_us
+                  FROM e),
             j AS (SELECT p_id, p_user, c_id, c_user, p_ts, c_ts
                   FROM p FULL OUTER JOIN c
                     ON p_user = c_user
@@ -184,9 +194,9 @@ object Extras138 {
          FROM j CROSS JOIN m
          WHERE (p_id IS NOT NULL AND c_id IS NOT NULL)
             OR (c_id IS NULL
-                AND epoch_us(p_ts) < epoch_us(mx) - 5400000000)
+                AND epoch_us(p_ts) < wm_us - 1200000000)
             OR (p_id IS NULL
-                AND epoch_us(c_ts) < epoch_us(mx) - 9000000000)
+                AND epoch_us(c_ts) < wm_us - 4800000000)
          ORDER BY p_id NULLS LAST, c_id NULLS LAST"""
   )
 }
