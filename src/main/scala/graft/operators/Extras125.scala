@@ -41,6 +41,10 @@ object Extras125 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_llm_ann_pq" -> ((s, d) => {
+      // localCheckpoint: the exploded relation feeds the codebook,
+      // the encode, the ADC table and the exact rerank — shared-
+      // subtree rule (round-12 PLANS.md showed the ivfpq sibling
+      // re-deriving it ~25× from the scan).
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "pos", "x")
@@ -48,15 +52,21 @@ object Extras125 {
           round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             .as("q"))
         .withColumn("sub", expr("(dim - 1) div 4"))
+        // exact integer micros: the corpus-linear encode join orders
+        // by exact arithmetic either way, and BIGINT products are
+        // codegen-fast — argmin identical (scale 1e12), output
+        // unchanged.
+        .withColumn("q6", (col("q") * 1000000).cast("long"))
+        .localCheckpoint()
       val cb = e.where(col("vec_id") < 64)
         .select(col("vec_id").as("cw"), col("dim"), col("sub"),
-          col("q").as("cv"))
-      val diff = (col("q") - col("cv")).cast(DecimalType(7, 6))
+          col("q").as("cv"), col("q6").as("cv6"))
+      val diff6 = col("q6") - col("cv6")
       // encode: nearest codeword per (vector, subspace)
       val enc = e.join(broadcast(cb.select(col("cw"), col("dim"),
-          col("cv"))), "dim")
+          col("cv6"))), "dim")
         .groupBy(col("vec_id"), col("sub"), col("cw"))
-        .agg(sum(diff * diff).as("dist"))
+        .agg(sum(diff6 * diff6).as("dist"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id"), col("sub"))
             .orderBy(col("dist"), col("cw"))))

@@ -54,6 +54,11 @@ object Extras137 {
     // the corpus's directional structure; BASELINE.md records the
     // 100..103 A/B where true neighbors scatter across cells).
     "q_llm_ann_ivfpq" -> ((s, d) => {
+      // localCheckpoint: the exploded (vec_id, dim, q, sub) relation
+      // feeds the coarse codebook, the assignment, the PQ codebook,
+      // the encode, the ADC table AND the exact rerank — without it
+      // the plan re-derives the explode from the parquet scan ~25×
+      // (round-12 PLANS.md; the playbook shared-subtree rule).
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "pos", "x")
@@ -61,6 +66,13 @@ object Extras137 {
           round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             .as("q"))
         .withColumn("sub", expr("(dim - 1) div 4"))
+        // q6 = exact integer micros of q: the 16.7M-row coarse-dot
+        // and encode joins order by EXACT arithmetic either way, and
+        // BIGINT products run in whole-stage codegen ~10× faster
+        // than BigDecimal — values scale by exactly 1e12, so every
+        // argmin/argmax picks the identical row (output unchanged).
+        .withColumn("q6", (col("q") * 1000000).cast("long"))
+        .localCheckpoint()
       // coarse codebook: ADAPTIVE cell count (smallest c in {8, 16,
       // 32, 64} holding expected occupancy ≤ 64 — integer thresholds
       // only, the q_llm_ann_lsh_adaptive scale rule: fixed 8 cells at
@@ -79,12 +91,17 @@ object Extras137 {
         .withColumn("np", when(col("c") <= 16, 2L).otherwise(4L))
       val cb8 = e.crossJoin(broadcast(nc))
         .where(col("vec_id") < col("c"))
-        .select(col("vec_id").as("ccid"), col("dim"), col("q").as("cq"))
+        .select(col("vec_id").as("ccid"), col("dim"),
+          col("q6").as("cq6"))
       val npCol = broadcast(nc.select(col("np")))
+      // checkpointed too: cd (nv × c coarse dots) is referenced by
+      // BOTH the corpus assignment and the query probe set, and its
+      // derivation is the nv×64×c join blow-up. cdot is the exact
+      // BIGINT micro² dot (= the decimal dot × 1e12 — same order).
       val cd = e.join(broadcast(cb8), "dim")
         .groupBy(col("vec_id"), col("ccid"))
-        .agg(sum((col("q") * col("cq")).cast(DecimalType(15, 12)))
-          .as("cdot"))
+        .agg(sum(col("q6") * col("cq6")).as("cdot"))
+        .localCheckpoint()
       val cw = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("ccid"))
       val assign = cd
@@ -97,15 +114,17 @@ object Extras137 {
         .crossJoin(npCol)
         .where(col("rn") <= col("np"))
         .select(col("vec_id").as("qid"), col("ccid").as("cell"))
-      // PQ codebook + per-(vector, subspace) encoding (Extras125 shape)
+      // PQ codebook + per-(vector, subspace) encoding (Extras125
+      // shape); encode distance is the exact BIGINT micro² sum —
+      // identical argmin to the decimal form (scale 1e12).
       val cb = e.where(col("vec_id") < 64)
         .select(col("vec_id").as("cw"), col("dim"), col("sub"),
-          col("q").as("cv"))
-      val diff = (col("q") - col("cv")).cast(DecimalType(7, 6))
+          col("q").as("cv"), col("q6").as("cv6"))
+      val diff6 = col("q6") - col("cv6")
       val enc = e.join(broadcast(cb.select(col("cw"), col("dim"),
-          col("cv"))), "dim")
+          col("cv6"))), "dim")
         .groupBy(col("vec_id"), col("sub"), col("cw"))
-        .agg(sum(diff * diff).as("dist"))
+        .agg(sum(diff6 * diff6).as("dist"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id"), col("sub"))
             .orderBy(col("dist"), col("cw"))))
