@@ -127,28 +127,41 @@ object Extras129 {
     // row/column margins in three unrolled iterations; weights
     // re-quantized to micro units after every scaling.
     "q_agg_ipf_raking" -> ((s, d) => {
-      val grid = Tables.orders(s, d)
+      // Bounded driver fold (the markov_absorb pattern; round-12
+      // verdict item 4): the (priority-digit × status) grid is ≤15
+      // cells at ANY data scale, so running the six raking passes as
+      // six chained Spark window stages was pure orchestration
+      // overhead (3.9 s of driver bench for a 15-cell computation).
+      // One distributed agg builds the grid; the IPF iterates locally
+      // in the IDENTICAL IEEE sequence: sparkRound replicates Spark's
+      // Round(double, 0) exactly (java BigDecimal.valueOf → HALF_UP —
+      // NOT math.round, whose x+0.5 differs below .5 boundaries), and
+      // every product/division keeps the window version's op order.
+      import s.implicits._
+      def sparkRound(x: Double): Long =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val cells = Tables.orders(s, d)
         .groupBy(substring(col("o_orderpriority"), 1, 1).as("p"),
           col("o_orderstatus").as("st"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("nn", sum(col("n")).over(
-          Window.partitionBy(lit(1))))
-        .withColumn("w", col("n") * lit(1000000L)) // micro units
-      val rowW = Window.partitionBy(col("p"))
-      val colW = Window.partitionBy(col("st"))
-      def rakeRow(df: DataFrame): DataFrame = df
-        .withColumn("w", round(col("w").cast("double")
-          * (col("nn").cast("double") / lit(5.0))
-          / (sum(col("w")).over(rowW).cast("double") / lit(1e6)))
-          .cast("long"))
-      def rakeCol(df: DataFrame): DataFrame = df
-        .withColumn("w", round(col("w").cast("double")
-          * (col("nn").cast("double") / lit(3.0))
-          / (sum(col("w")).over(colW).cast("double") / lit(1e6)))
-          .cast("long"))
-      val iterated = rakeCol(rakeRow(rakeCol(rakeRow(
-        rakeCol(rakeRow(grid))))))
-      iterated
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nn = cells.map(_._3).sum
+      var w = cells.map { case (p, st, n) => (p, st) -> n * 1000000L }
+        .toMap
+      def rake(keyOf: ((String, String)) => String, tgt: Double)
+          : Unit = {
+        val sums = w.groupBy { case (k, _) => keyOf(k) }
+          .map { case (g, m) => g -> m.values.sum }
+        w = w.map { case (k, wv) =>
+          k -> sparkRound(wv.toDouble * (nn.toDouble / tgt)
+            / (sums(keyOf(k)).toDouble / 1e6))
+        }
+      }
+      for (_ <- 1 to 3) { rake(_._1, 5.0); rake(_._2, 3.0) }
+      cells.map { case (p, st, n) => (p, st, n, w((p, st))) }
+        .toSeq.toDF("p", "st", "n", "w")
         .select(col("p"), col("st"), col("n"),
           r6(col("w").cast("double") / lit(1e6)).as("weight_mass"),
           r6(col("w").cast("double") / lit(1e6)
