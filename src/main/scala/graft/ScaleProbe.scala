@@ -658,7 +658,11 @@ object ScaleProbe {
       "q_evt_attribution_decay" -> (d => SparkEntry.queries("q_evt_attribution_decay")(spark, d).count()),
       "q_dq_domain" -> (d => SparkEntry.queries("q_dq_domain")(spark, d).count()),
       "q_agg_trimean" -> (d => SparkEntry.queries("q_agg_trimean")(spark, d).count()),
-      "q_fn_array3" -> (d => SparkEntry.queries("q_fn_array3")(spark, d).count())
+      "q_fn_array3" -> (d => SparkEntry.queries("q_fn_array3")(spark, d).count()),
+      "q_stream_live_router" -> (d => SparkEntry.queries("q_stream_live_router")(spark, d).count()),
+      "q_evt_match_recognize" -> (d => SparkEntry.queries("q_evt_match_recognize")(spark, d).count()),
+      "q_graph_densest" -> (d => SparkEntry.queries("q_graph_densest")(spark, d).count()),
+      "q_sql_unpivot_multi" -> (d => SparkEntry.queries("q_sql_unpivot_multi")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-13 additions, part 1: the stream-stream RIGHT-outer join
+  * (completing the louter/fouter outer matrix — round-12 verdict
+  * item 5), MATCH_RECOGNIZE-style event sequence patterns (verdict
+  * item 7: pattern = regex over the per-user event-type sequence,
+  * MEASURES = match count + first-match bounds, AFTER MATCH SKIP PAST
+  * LAST ROW = non-overlapping regex semantics), Charikar densest
+  * subgraph via batched peeling (SURVEY §8.0-r12 item 3), and the
+  * multi-value ANSI UNPIVOT parser surface.
+  *
+  * Scale shape: router is the fouter state machine with one decided
+  * side; match_recognize is one user-grain sort-agg (sequences are
+  * per-user-bounded) + per-row regex — no shuffle beyond the grain;
+  * densest peels ALL under-average nodes per round (Bahmani et al's
+  * batched Charikar — O(log n) rounds, never vertex-at-a-time), each
+  * round one degree agg over the surviving edge list; unpivot is a
+  * projection-only melt + one agg.
+  *
+  * Determinism contract (SURVEY §2.13): router reuses the fouter
+  * playbook rules (per-side watermark maxima for the decided-region
+  * cutoff, NULLS LAST on the nullable sort key); match_recognize
+  * totals order on the unique (ts_us, event_id) pair, the pattern
+  * v+cp backtracks identically under Java regex and RE2 (greedy run
+  * of v then literal cp — the match at any start is unique), and the
+  * first-match position comes from strpos/instr of the extracted
+  * leftmost match text on BOTH engines (an earlier occurrence of
+  * that text would itself be a leftmost match — contradiction, so
+  * the position is exact); densest peels on the EXACT integer rule
+  * deg·N > Σdeg (no average-degree division anywhere), with the
+  * oracle's per-round CTEs MATERIALIZED (the playbook's re-evaluation
+  * rule); unpivot sums exact cents per measure group.
+  */
+object Extras147 {
+  import graft.Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STREAM-STREAM RIGHT-OUTER JOIN — purchases ⟖ clicks within the
+    // 1-hour lookback: matched pairs plus null-purchase rows for
+    // clicks the GLOBAL watermark has decided. wm = min(max p_ts −
+    // 10 min, max c_ts − 70 min) (per-side maxima — the fouter rule);
+    // an unmatched click is decided when wm passes c_ts + 1 h, strict
+    // cutoff wm − 80 min (60 window + 20 margin).
+    "q_stream_live_router" -> ((s, d) => {
+      val events = graft.streaming.StreamOps.eventsFileStream(s, d)
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour 10 minutes")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"),
+        "right_outer")
+        .select(col("p_id"), col("c_id"), col("c_user"),
+          col("p_ts"), col("c_ts"))
+      val sink = graft.streaming.StreamOps
+        .runToMemoryAppend(joined, "live_router")
+      val wm = Tables.events(s, d).agg(least(
+        max(when(col("event_type") === "purchase", tsUs(col("ts"))))
+          - lit(600000000L),
+        max(when(col("event_type") === "click", tsUs(col("ts"))))
+          - lit(4200000000L)).as("wm_us"))
+      sink.crossJoin(broadcast(wm))
+        .where(col("p_id").isNotNull
+          || tsUs(col("c_ts")) < col("wm_us") - lit(4800000000L))
+        .select(col("p_id"), col("c_user").as("u"), col("c_id"),
+          tsUs(col("p_ts")).as("p_us"), tsUs(col("c_ts")).as("c_us"))
+        // p_id IS null on click-only rows: explicit NULLS LAST
+        .orderBy(col("c_id"), col("p_id").asc_nulls_last)
+    }),
+
+    // MATCH_RECOGNIZE-STYLE SEQUENCE PATTERNS — per user, PATTERN
+    // (V+ C P) over the (ts, event_id)-ordered event-type sequence;
+    // MEASURES: non-overlapping match count (AFTER MATCH SKIP PAST
+    // LAST ROW), first-match start ordinal and length. Users with ≥1
+    // match only.
+    "q_evt_match_recognize" -> ((s, d) => {
+      val seqs = Tables.events(s, d)
+        .withColumn("ch",
+          when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .when(col("event_type") === "signup", "s")
+            .otherwise("e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(tsUs(col("ts")).as("t"),
+              col("event_id").as("i"), col("ch").as("ch")))),
+            x => x.getField("ch")), "").as("seq"))
+      seqs
+        .withColumn("n_matches",
+          regexp_count(col("seq"), lit("v+cp")).cast("long"))
+        .where(col("n_matches") >= 1)
+        .withColumn("m1", regexp_extract(col("seq"), "v+cp", 0))
+        .select(col("user_id"), col("n_events"), col("n_matches"),
+          expr("instr(seq, m1)").cast("long").as("first_start"),
+          length(col("m1")).cast("long").as("first_len"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CHARIKAR DENSEST SUBGRAPH — batched greedy peeling on the
+    // shared co-occurrence graph: each round removes EVERY node whose
+    // degree is ≤ the current average (exact integer rule
+    // deg·N ≤ Σdeg), emitting (n_nodes, n_edges, density) per
+    // surviving round. The max-density row is the densest-subgraph
+    // certificate (Charikar's 2-approx peel, batched à la Bahmani —
+    // O(log n) rounds at any scale, never vertex-at-a-time).
+    "q_graph_densest" -> ((s, d) => {
+      import s.implicits._
+      val und = Extras11.undirectedEdges(s, d)
+      var e = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for (r <- 0L to 5L) {
+        // 1-row bounded aggregate per round (≤6 driver reads total)
+        val row = e.agg(countDistinct(col("src")).as("n"),
+          count(lit(1)).as("m")).head()
+        val (n, m) = (row.getLong(0), row.getLong(1))
+        if (n > 0) stats += ((r, n, m / 2))
+        if (r < 5 && n > 0) {
+          val keep = e.groupBy(col("src").as("u"))
+            .agg(count(lit(1)).as("deg"))
+            .where(col("deg") * n > m).select(col("u"))
+          e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
+            .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+        }
+      }
+      stats.toSeq.toDF("round", "n_nodes", "n_edges")
+        .select(col("round"), col("n_nodes"), col("n_edges"),
+          r6(col("n_edges").cast("double")
+            / col("n_nodes").cast("double")).as("density"))
+        .orderBy(col("round"))
+    }),
+
+    // MULTI-VALUE ANSI UNPIVOT — the ((a, b) FOR g IN ((x1, y1) AS
+    // ..., (x2, y2) AS ...)) statement form (q_sql_unpivot is the
+    // single-value melt): lineitem's two measure PAIRS melt to rows,
+    // then exact-cent sums per group prove the lanes didn't swap.
+    "q_sql_unpivot_multi" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem_um")
+      s.sql("""
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(a AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS a_cents,
+               CAST(SUM(CAST(CAST(b AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS b_cents
+        FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+              FROM v_lineitem_um)
+        UNPIVOT ((a, b) FOR grp IN (
+          (l_quantity, l_extendedprice) AS base,
+          (l_discount, l_tax) AS rates))
+        GROUP BY grp ORDER BY grp""")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_stream_live_router" ->
+      """WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id,
+                           event_type FROM events),
+            p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+                  FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+                  FROM e WHERE event_type = 'click'),
+            m AS (SELECT least(
+                    max(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) - 600000000,
+                    max(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) - 4200000000) AS wm_us
+                  FROM e),
+            j AS (SELECT p_id, c_id, c_user, p_ts, c_ts
+                  FROM c LEFT JOIN p
+                    ON p_user = c_user
+                   AND c_ts >= p_ts - INTERVAL 1 HOUR
+                   AND c_ts <= p_ts)
+         SELECT p_id, c_user AS u, c_id,
+                epoch_us(p_ts) AS p_us, epoch_us(c_ts) AS c_us
+         FROM j CROSS JOIN m
+         WHERE p_id IS NOT NULL
+            OR epoch_us(c_ts) < wm_us - 4800000000
+         ORDER BY c_id, p_id NULLS LAST""",
+
+    "q_evt_match_recognize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+                    event_id,
+                    CASE event_type WHEN 'view' THEN 'v'
+                      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                      WHEN 'signup' THEN 's' ELSE 'e' END AS ch
+                 FROM events),
+            s AS (SELECT user_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    string_agg(ch, '' ORDER BY t, event_id) AS seq
+                  FROM t GROUP BY 1),
+            m AS (SELECT user_id, n_events, seq,
+                    CAST(len(regexp_extract_all(seq, 'v+cp'))
+                      AS BIGINT) AS n_matches,
+                    regexp_extract(seq, 'v+cp') AS m1
+                  FROM s)
+         SELECT user_id, n_events, n_matches,
+                CAST(strpos(seq, m1) AS BIGINT) AS first_start,
+                CAST(len(m1) AS BIGINT) AS first_len
+         FROM m WHERE n_matches >= 1 ORDER BY user_id""",
+
+    "q_graph_densest" -> {
+      // 6 unrolled batched-peel rounds; every round CTE MATERIALIZED
+      // (each is referenced 3× downstream — the playbook
+      // re-evaluation rule would otherwise blow up 3^6).
+      val rounds = (0 to 5).map { r =>
+        val peel =
+          if (r == 0) s"e$r AS MATERIALIZED (SELECT src, dst FROM e)"
+          else s"""k$r AS MATERIALIZED (
+                     SELECT src AS u FROM e${r - 1} GROUP BY src
+                     HAVING COUNT(*) * (SELECT n FROM s${r - 1})
+                       > (SELECT m FROM s${r - 1})),
+                   e$r AS MATERIALIZED (
+                     SELECT src, dst FROM e${r - 1}
+                     WHERE src IN (SELECT u FROM k$r)
+                       AND dst IN (SELECT u FROM k$r))"""
+        s"""$peel,
+            s$r AS MATERIALIZED (
+              SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS m FROM e$r)"""
+      }.mkString(",\n")
+      val unions = (0 to 5).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, n AS n_nodes,
+              m // 2 AS n_edges,
+              round(CAST(m // 2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS density
+            FROM s$r WHERE n > 0"""
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Extras11.GraphSql},
+            $rounds
+         SELECT * FROM ($unions) ORDER BY round"""
+    },
+
+    "q_sql_unpivot_multi" ->
+      """WITH melted AS (
+           SELECT 'base' AS grp, l_quantity AS a, l_extendedprice AS b
+           FROM lineitem
+           UNION ALL
+           SELECT 'rates', l_discount, l_tax FROM lineitem)
+         SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(CAST(a AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS a_cents,
+                CAST(SUM(CAST(CAST(b AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS b_cents
+         FROM melted GROUP BY grp ORDER BY grp"""
+  )
+}
