@@ -662,7 +662,11 @@ object ScaleProbe {
       "q_stream_live_router" -> (d => SparkEntry.queries("q_stream_live_router")(spark, d).count()),
       "q_evt_match_recognize" -> (d => SparkEntry.queries("q_evt_match_recognize")(spark, d).count()),
       "q_graph_densest" -> (d => SparkEntry.queries("q_graph_densest")(spark, d).count()),
-      "q_sql_unpivot_multi" -> (d => SparkEntry.queries("q_sql_unpivot_multi")(spark, d).count())
+      "q_sql_unpivot_multi" -> (d => SparkEntry.queries("q_sql_unpivot_multi")(spark, d).count()),
+      // Round-13 part 2: residual IVF-PQ shares ivfpq's shape (corpus-
+      // linear assign+encode, cell-pruned ADC) plus one broadcast
+      // centroid-subtraction join; the ratio must stay ~linear.
+      "q_llm_ann_ivfpq_residual" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_residual")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -730,7 +734,12 @@ object ScaleProbe {
     // cell-prune + ADC loss against ground truth, averaged over the 4
     // queries. Double L2 over the same 6-dp quantized components is
     // fine for a set metric.
-    if (only.isEmpty || only("q_llm_ann_ivfpq")) {
+    // The residual variant reports alongside the non-residual baseline
+    // (round-12 verdict item 6: residual recall must be >= non-residual
+    // at BOTH 1x and Kx — the whole point of encoding v - centroid).
+    val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual")
+      .filter(kk => only.isEmpty || only(kk))
+    if (ivfpqRecallKeys.nonEmpty) {
       def bruteTop10(d: String, qid: Long): Set[Long] = {
         val emb = spark.read.parquet(s"$d/embeddings.parquet")
         val q0 = emb.where(col("vec_id") === qid)
@@ -746,19 +755,21 @@ object ScaleProbe {
           .orderBy(col("d2"), col("vec_id"))
           .limit(10).collect().map(_.getLong(0)).toSet
       }
-      def ivfpqTop10(d: String): Map[Long, Set[Long]] =
-        SparkEntry.queries("q_llm_ann_ivfpq")(spark, d)
+      def ivfpqTop10(key: String, d: String): Map[Long, Set[Long]] =
+        SparkEntry.queries(key)(spark, d)
           .select("qid", "vec_id").collect()
           .groupBy(_.getLong(0)).map { case (q, rs) =>
             q -> rs.map(_.getLong(1)).toSet }
-      def recall(d: String): Double = {
-        val got = ivfpqTop10(d)
+      def recall(key: String, d: String): Double = {
+        val got = ivfpqTop10(key, d)
         val qs = got.keys.toSeq.sorted
         qs.map(q => (got(q) & bruteTop10(d, q)).size / 10.0).sum / qs.size
       }
-      val r1 = recall(sf)
-      val rk = recall(out)
-      println(f"recall q_llm_ann_ivfpq      1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
+      ivfpqRecallKeys.foreach { key =>
+        val r1 = recall(key, sf)
+        val rk = recall(key, out)
+        println(f"recall $key%-25s 1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
+      }
     }
     spark.stop()
   }

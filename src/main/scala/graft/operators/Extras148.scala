@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-13 additions, part 2: RESIDUAL-encoded IVF-PQ (the round-12
+  * verdict's top new-surface item — the production IVFADC shape:
+  * PQ codes quantize the residual v − centroid(cell) instead of the
+  * raw vector, which is what holds recall when cells widen at corpus
+  * scale; the non-residual q_llm_ann_ivfpq stays as the stated A/B
+  * baseline).
+  *
+  * Scale shape: identical to ivfpq — corpus-linear coarse assignment
+  * and residual encode (fact × broadcast codebooks), cell-pruned ADC
+  * scan (only nprobe/#cells of the code table touched per query),
+  * ≤4·100-row exact rerank. The residual twist adds ONE broadcast
+  * join (centroid subtraction) and keys the ADC table by probed CELL
+  * (the query's residual differs per probed cell) — 4·np·16·256 rows,
+  * still broadcast-size.
+  *
+  * Determinism contract (SURVEY §2.13): every distance is an exact
+  * BIGINT micro² sum (components are 6-dp-quantized micros ≤ ~5.3e5,
+  * residual diffs ≤ ~2.2e6, per-sub sums ≤ 2e13 — far inside int64),
+  * every argmin/top-k ties on an id, and the two emitted distance
+  * columns are ONE IEEE division (exact-int/1e12, both < 2^53) + r6
+  * on both engines.
+  */
+object Extras148 {
+  import graft.Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RESIDUAL IVF-PQ — coarse adaptive cells (the ivfpq convention:
+    // dot-product assignment, 8→64 cells by integer occupancy
+    // thresholds, nprobe 2→4); PQ codewords are the RESIDUALS of 256
+    // stride-sampled vectors outside the centroid block w.r.t. their
+    // own cells; candidates ADC-scan
+    // against the query's per-cell residual table; exact top-10
+    // rerank on raw vectors.
+    "q_llm_ann_ivfpq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            * 1000000).cast("long").as("q6"))
+        .withColumn("sub", expr("(dim - 1) div 4"))
+        // fan out BEFORE checkpointing: the small parquet file scans
+        // as one partition, which would serialize the ×c coarse-dot
+        // and ×256 encode expansions below onto one core
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("vec_id"))
+        .localCheckpoint() // shared-subtree rule (ivfpq precedent)
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(col("nv"), when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+        .withColumn("np", when(col("c") <= 16, 2L).otherwise(4L))
+        // codeword stride: 256 residual codewords (standard 8-bit PQ
+        // subquantizers) sampled ACROSS the
+        // corpus, skipping the centroid block [0, c) — a codeword set
+        // overlapping the centroids degenerates to near-zero residuals
+        // the moment c widens to 64 (measured: recall@10 0.93 -> 0.10
+        // at the 8x probe before this rule; the coarse-anchor lesson
+        // from round 12 applied to the PQ level).
+        .withColumn("s", greatest(lit(1L),
+          expr("(nv - c) div 256")))
+      val cent = e.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
+        .select(col("vec_id").as("ccid"), col("dim"),
+          col("q6").as("c6"))
+      val cd = e.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("ccid"))
+        .agg(sum(col("q6") * col("c6")).as("cdot"))
+        .localCheckpoint() // referenced by assign AND qprobe
+      val cw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("ccid"))
+      val assign = cd.withColumn("rn", row_number().over(cw))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("ccid").as("cell"))
+      val qprobe = cd.where(col("vec_id").between(0, 3))
+        .withColumn("rn", row_number().over(cw))
+        .crossJoin(broadcast(nc.select(col("np"))))
+        .where(col("rn") <= col("np"))
+        .select(col("vec_id").as("qid"), col("ccid").as("cell"))
+      // corpus residuals r = v − centroid(cell(v)) — exact micros
+      // (cent derives from e: rename its dim to dodge the ambiguous
+      // self-join lineage check)
+      val centR = cent.withColumnRenamed("dim", "cdim")
+      val resid = e.join(assign, "vec_id")
+        .join(broadcast(centR),
+          col("cell") === col("ccid") && col("dim") === col("cdim"))
+        .select(col("vec_id"), col("dim"), col("sub"),
+          (col("q6") - col("c6")).as("r6"))
+        .localCheckpoint() // feeds the codebook AND the encode
+      // residual codebook: 256 stride-sampled residuals from outside
+      // the centroid block (see the `s` comment above)
+      val rcb = resid.crossJoin(broadcast(
+          nc.select(col("c"), col("s"))))
+        .where(col("vec_id") >= col("c")
+          && (col("vec_id") - col("c")) % col("s") === 0
+          && expr("(vec_id - c) div s") < 256)
+        .select(col("vec_id").as("cw"), col("dim"), col("r6").as("rc6"))
+      // Encode: per (vector, subspace) argmin over the 256 codewords.
+      // The per-dim flat join form shuffles #vec × 16 × 256 grouped
+      // rows (65M at the 8× probe, measured 94 s); instead pack each
+      // (vec, sub) residual and each (sub, cw) codeword into 4-dim
+      // arrays, compute each distance as ONE codegen'd zip_with fold,
+      // and take argmin via min(struct(dist, cw)) — lexicographic
+      // struct min = min dist tie-broken to smallest cw, and the
+      // map-side partial agg collapses the 65M rows to #vec × 16
+      // before any shuffle. Exact BIGINT arithmetic throughout.
+      // repartition after the tiny groupBy: AQE coalesces the 32k-row
+      // shuffle to ONE partition, putting the ×256 codebook expansion
+      // below on a single core (measured 16 s at sf0.1; the expansion
+      // itself is the dominant work and must fan out).
+      val rsub = resid.groupBy(col("vec_id"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("r6"))))
+          .as("rv"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("vec_id"))
+      val cbSub = rcb
+        .withColumn("sub", expr("(dim - 1) div 4"))
+        .groupBy(col("sub"), col("cw"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("rc6"))))
+          .as("cv"))
+      val enc = rsub.join(broadcast(cbSub), "sub")
+        .select(col("vec_id"), col("sub"), col("cw"), expr(
+          """aggregate(zip_with(rv, cv,
+               (a, b) -> (a.r6 - b.rc6) * (a.r6 - b.rc6)),
+               CAST(0 AS BIGINT), (s, v) -> s + v)""").as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cw"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cw").as("code"))
+      // query residual PER PROBED CELL → ADC table keyed by cell
+      val qe = e.where(col("vec_id").between(0, 3))
+        .select(col("vec_id").as("qid"), col("dim"), col("sub"),
+          col("q6").as("qq6"))
+      val qres = qprobe.join(qe, "qid")
+        .join(broadcast(centR),
+          col("cell") === col("ccid") && col("dim") === col("cdim"))
+        .select(col("qid"), col("cell"), col("dim"),
+          col("sub"), (col("qq6") - col("c6")).as("rq6"))
+      val adc = qres.join(broadcast(rcb), "dim")
+        .groupBy(col("qid"), col("cell"), col("sub"), col("cw"))
+        .agg(sum((col("rq6") - col("rc6")) * (col("rq6") - col("rc6")))
+          .as("d_qc"))
+      // cell prune, then residual-ADC scan in the candidate's cell
+      val candv = assign.join(broadcast(qprobe), "cell")
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("cell"), col("vec_id"))
+      val scored = candv.join(enc, "vec_id")
+        .join(broadcast(adc), Seq("qid", "cell", "sub"))
+        .where(col("code") === col("cw"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d_qc")).as("adc_i"))
+      val cand = scored
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("adc_i"), col("vec_id"))))
+        .where(col("crank") <= 100)
+        .select(col("qid"), col("vec_id"), col("adc_i"))
+      // exact rerank on RAW vectors (true L2, not residual space)
+      val exact = cand.join(e.select(col("vec_id"), col("dim"),
+          col("q6").as("v6")), "vec_id")
+        .join(broadcast(qe.select(col("qid"), col("dim"), col("qq6"))),
+          Seq("qid", "dim"))
+        .groupBy(col("qid"), col("vec_id"), col("adc_i"))
+        .agg(sum((col("v6") - col("qq6")) * (col("v6") - col("qq6")))
+          .as("true_i"))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("true_i"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          r6(col("adc_i").cast("double") / lit(1e12)).as("adc_dist"),
+          r6(col("true_i").cast("double") / lit(1e12)).as("true_dist"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_llm_ann_ivfpq_residual" ->
+      """WITH x AS (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS (SELECT vec_id, dim, (dim - 1) // 4 AS sub,
+                    CAST(CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                         AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q6
+                  FROM x),
+            nc AS (SELECT COUNT(*) AS nv,
+                     CASE WHEN COUNT(*) <= 512 THEN 8
+                        WHEN COUNT(*) <= 1024 THEN 16
+                        WHEN COUNT(*) <= 2048 THEN 32
+                        ELSE 64 END AS c,
+                     CASE WHEN COUNT(*) <= 1024 THEN 2 ELSE 4 END AS np,
+                     greatest(1, (COUNT(*)
+                       - CASE WHEN COUNT(*) <= 512 THEN 8
+                           WHEN COUNT(*) <= 1024 THEN 16
+                           WHEN COUNT(*) <= 2048 THEN 32
+                           ELSE 64 END) // 256) AS s
+                   FROM embeddings),
+            cent AS (SELECT vec_id AS ccid, dim, q6 AS c6
+                     FROM e, nc WHERE vec_id < c),
+            cd AS (SELECT e.vec_id, cent.ccid,
+                     CAST(SUM(e.q6 * cent.c6) AS BIGINT) AS cdot
+                   FROM e JOIN cent ON e.dim = cent.dim
+                   GROUP BY 1, 2),
+            assign AS (SELECT vec_id, ccid AS cell FROM (
+                       SELECT vec_id, ccid, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cdot DESC, ccid)
+                         AS rn
+                       FROM cd) t WHERE rn = 1),
+            qprobe AS (SELECT vec_id AS qid, ccid AS cell FROM (
+                       SELECT vec_id, ccid, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cdot DESC, ccid)
+                         AS rn
+                       FROM cd WHERE vec_id BETWEEN 0 AND 3) t, nc
+                       WHERE rn <= np),
+            resid AS (SELECT e.vec_id, e.dim, e.sub,
+                        e.q6 - cent.c6 AS r6
+                      FROM e
+                      JOIN assign ON assign.vec_id = e.vec_id
+                      JOIN cent ON cent.ccid = assign.cell
+                        AND cent.dim = e.dim),
+            rcb AS (SELECT vec_id AS cw, dim, r6 AS rc6
+                    FROM resid, nc
+                    WHERE vec_id >= c AND (vec_id - c) % s = 0
+                      AND (vec_id - c) // s < 256),
+            encd AS (SELECT vec_id, sub, cw AS code FROM (
+                     SELECT resid.vec_id, resid.sub, rcb.cw,
+                       row_number() OVER (
+                         PARTITION BY resid.vec_id, resid.sub
+                         ORDER BY SUM((resid.r6 - rcb.rc6)
+                           * (resid.r6 - rcb.rc6)), rcb.cw) AS rn
+                     FROM resid JOIN rcb ON resid.dim = rcb.dim
+                     GROUP BY resid.vec_id, resid.sub, rcb.cw) t
+                   WHERE rn = 1),
+            qe AS (SELECT vec_id AS qid, dim, sub, q6 FROM e
+                   WHERE vec_id BETWEEN 0 AND 3),
+            qres AS (SELECT qprobe.qid, qprobe.cell, qe.dim, qe.sub,
+                       qe.q6 - cent.c6 AS rq6
+                     FROM qprobe
+                     JOIN qe ON qe.qid = qprobe.qid
+                     JOIN cent ON cent.ccid = qprobe.cell
+                       AND cent.dim = qe.dim),
+            adc AS (SELECT qres.qid, qres.cell, qres.sub, rcb.cw,
+                      CAST(SUM((qres.rq6 - rcb.rc6)
+                        * (qres.rq6 - rcb.rc6)) AS BIGINT) AS d_qc
+                    FROM qres JOIN rcb ON qres.dim = rcb.dim
+                    GROUP BY 1, 2, 3, 4),
+            candv AS (SELECT qprobe.qid, qprobe.cell, assign.vec_id
+                      FROM assign JOIN qprobe USING (cell)
+                      WHERE assign.vec_id <> qprobe.qid),
+            scored AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM(adc.d_qc) AS BIGINT) AS adc_i
+                    FROM candv c
+                    JOIN encd ON encd.vec_id = c.vec_id
+                    JOIN adc ON adc.qid = c.qid AND adc.cell = c.cell
+                      AND adc.sub = encd.sub AND adc.cw = encd.code
+                    GROUP BY 1, 2),
+            cand AS (SELECT qid, vec_id, adc_i FROM (
+                     SELECT qid, vec_id, adc_i,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_i, vec_id) AS crank
+                     FROM scored) t
+                   WHERE crank <= 100),
+            ex AS (SELECT cand.qid, cand.vec_id, cand.adc_i,
+                      CAST(SUM((ev.q6 - qe.q6) * (ev.q6 - qe.q6))
+                        AS BIGINT) AS true_i
+                    FROM cand
+                    JOIN e ev ON ev.vec_id = cand.vec_id
+                    JOIN qe ON qe.qid = cand.qid AND qe.dim = ev.dim
+                    GROUP BY 1, 2, 3),
+            rk AS (SELECT qid, vec_id, adc_i, true_i,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY true_i, vec_id) AS BIGINT) AS rank
+                    FROM ex)
+         SELECT qid, rank, vec_id,
+                round(CAST(adc_i AS DOUBLE) / 1e12, 6) AS adc_dist,
+                round(CAST(true_i AS DOUBLE) / 1e12, 6) AS true_dist
+         FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Extras148Spec extends QuerySuiteBase {
+  Seq("q_llm_ann_ivfpq_residual").foreach(checkDeclared(_))
+
+  test("residual ivfpq: ranks are 1..k by true distance, ADC nonneg") {
+    val rows = q("q_llm_ann_ivfpq_residual").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length))
+      val dists = ranked.map(_.getDouble(4))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+      assert(rs.forall(_.getDouble(3) >= 0.0))
+    }
+  }
+
+  test("residual ivfpq: true_dist equals the exact L2 on quantized micros") {
+    // The exact-rerank column must be the TRUE distance (raw-vector L2
+    // on the shared 6-dp quantization), independent of the residual
+    // encoding — recompute it from the table and compare exactly.
+    import org.apache.spark.sql.types.DecimalType
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos", "x")
+      .select(col("vec_id"), col("pos"),
+        (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+          * 1000000).cast("long").as("q6"))
+    val micro = emb.collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) =>
+        v -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val rows = q("q_llm_ann_ivfpq_residual").collect()
+    rows.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      val d2 = micro(qid).zip(micro(vid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      val expect = BigDecimal(d2) / BigDecimal(1000000000000L)
+      assert(math.abs(r.getDouble(4)
+        - expect.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9, s"qid=$qid vid=$vid")
+    }
+  }
+
+  test("residual ivfpq: candidates come only from probed cells") {
+    // Cell-prune correctness: every returned neighbor must share a
+    // coarse cell with one of its query's probed cells (recomputed
+    // independently from the same dot-product assignment rule).
+    import org.apache.spark.sql.types.DecimalType
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos", "x")
+      .select(col("vec_id"), col("pos"),
+        (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+          * 1000000).cast("long").as("q6"))
+    val micro = emb.collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val nv = micro.size
+    val c = if (nv <= 512) 8 else if (nv <= 1024) 16
+            else if (nv <= 2048) 32 else 64
+    val np = if (c <= 16) 2 else 4
+    def topCells(v: Long, n: Int): Seq[Long] =
+      (0L until c.toLong).map { cc =>
+        (cc, micro(v).zip(micro(cc)).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (cc, dot) => (-dot, cc) }.take(n).map(_._1)
+    val cellOf = micro.keys.map(v => v -> topCells(v, 1).head).toMap
+    val rows = q("q_llm_ann_ivfpq_residual").collect()
+    rows.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      val probed = topCells(qid, np).toSet
+      assert(probed.contains(cellOf(vid)),
+        s"qid=$qid vid=$vid cell=${cellOf(vid)} not in probed $probed")
+    }
+  }
+}

@@ -38,7 +38,8 @@ class OutputSchemaSpec extends QuerySuiteBase {
       StructField("nest", StructType(Seq(
         StructField("deep", ArrayType(DecimalType(19, 4))))))))
     assert(wideDecimals(s, "t") ==
-      Seq("t.bad: decimal(38,0)", "t.nest.deep[]: decimal(19,4)"))
+      Seq(s"t.bad: ${DecimalType(38, 0)}",
+        s"t.nest.deep[]: ${DecimalType(19, 4)}"))
   }
 
   test("no graded query emits a DecimalType with precision > 18") {
