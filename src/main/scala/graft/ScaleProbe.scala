@@ -666,7 +666,11 @@ object ScaleProbe {
       // Round-13 part 2: residual IVF-PQ shares ivfpq's shape (corpus-
       // linear assign+encode, cell-pruned ADC) plus one broadcast
       // centroid-subtraction join; the ratio must stay ~linear.
-      "q_llm_ann_ivfpq_residual" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_residual")(spark, d).count())
+      "q_llm_ann_ivfpq_residual" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_residual")(spark, d).count()),
+      // hnsw: graph build is quadratic WITHIN adaptive cells (Σ occ²/c),
+      // search is beam-bounded — the ratio guards the build staying
+      // near-linear as cells widen with the corpus.
+      "q_llm_ann_hnsw" -> (d => SparkEntry.queries("q_llm_ann_hnsw")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -737,7 +741,8 @@ object ScaleProbe {
     // The residual variant reports alongside the non-residual baseline
     // (round-12 verdict item 6: residual recall must be >= non-residual
     // at BOTH 1x and Kx — the whole point of encoding v - centroid).
-    val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual")
+    val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual",
+        "q_llm_ann_hnsw")
       .filter(kk => only.isEmpty || only(kk))
     if (ivfpqRecallKeys.nonEmpty) {
       def bruteTop10(d: String, qid: Long): Set[Long] = {

@@ -182,6 +182,150 @@ object Extras148 {
           r6(col("adc_i").cast("double") / lit(1e12)).as("adc_dist"),
           r6(col("true_i").cast("double") / lit(1e12)).as("true_dist"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // HNSW-STYLE BEAM-SEARCH ANN (round-12 verdict item 9 — the
+    // highest-recall ANN family): a hierarchical navigable-small-world
+    // search re-expressed deterministically —
+    //   * upper layer = the vec_id % 16 == 0 stride (HNSW's random
+    //     geometric level assignment replaced by a documented
+    //     deterministic proxy); the query's entry point is its exact
+    //     nearest upper-layer vector (a corpus/16 scan — the
+    //     hierarchy's log-shortcut; more strided levels at larger
+    //     corpora, stated not built);
+    //   * base-layer graph = exact 8-NN within each adaptive IVF cell
+    //     (per-cell quadratic bounded by occupancy — the q_graph_scc
+    //     per-component contract) ∪ vec→cell-hub ∪ hub↔hub mesh
+    //     (≤ c² long-range links, the cross-cell navigability);
+    //   * search = 5 beam rounds (beam B=16): expand every frontier
+    //     node's out-edges, exact-score the unseen ones, keep the 16
+    //     best not-yet-expanded as the next frontier (batched
+    //     best-first — stated beam variant of HNSW's 1-at-a-time).
+    // Determinism: all distances are exact BIGINT micro² zip-folds,
+    // every top-k ties on vec_id, the UNION dedups are on exact ids.
+    // Scale: graph build is Σ occ²/cell (quadratic-within-bounded-
+    // cells), search touches ≤ B·9 edges/round/query.
+    "q_llm_ann_hnsw" -> ((s, d) => {
+      val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // packed per-vector micro arrays (dim-sorted) — EVERY distance
+      // and dot below is one codegen'd zip_with fold over these; no
+      // exploded per-dim relation ever shuffles (the per-dim coarse
+      // assignment alone was a 4M-row groupBy + window)
+      val vpack0 = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            * 1000000).cast("long").as("q6"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("q6"))))
+          .as("v"))
+        .repartition(P, col("vec_id"))
+        .localCheckpoint()
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+      def d2(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b,
+              (x, y) -> (x.q6 - y.q6) * (x.q6 - y.q6)),
+              CAST(0 AS BIGINT), (s, v) -> s + v)""")
+      def dot(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> x.q6 * y.q6),
+              CAST(0 AS BIGINT), (s, v) -> s + v)""")
+      val centArr = vpack0.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
+        .select(col("vec_id").as("ccid"), col("v").as("cv"))
+      // coarse assignment: max dot, ties to the SMALLER ccid (the
+      // ivfpq row_number(cdot DESC, ccid) order) via max(struct) on
+      // (cdot, -ccid)
+      val assign = vpack0.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("ccid"), dot("v", "cv").as("cdot"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cdot"), (-col("ccid")).as("nid"))).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("cell"))
+      val vpack = vpack0.join(assign, "vec_id")
+        .localCheckpoint()
+      // base-layer graph
+      val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
+        col("v").as("va"))
+      val vp2 = vpack.select(col("vec_id").as("dst"),
+        col("cell").as("cell2"), col("v").as("vb"))
+      val knn = vp1.join(vp2, col("cell") === col("cell2")
+          && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), d2("va", "vb").as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("dd"), col("dst"))))
+        .where(col("rn") <= 8)
+        .select(col("src"), col("dst"))
+      val hub = assign.groupBy(col("cell"))
+        .agg(min(col("vec_id")).as("h"))
+      val toHub = assign.join(hub, "cell")
+        .where(col("vec_id") =!= col("h"))
+        .select(col("vec_id").as("src"), col("h").as("dst"))
+      val h1 = hub.select(col("h").as("src"))
+      val h2 = hub.select(col("h").as("dst"))
+      val mesh = h1.crossJoin(h2).where(col("src") =!= col("dst"))
+      val edges = knn.unionByName(toHub).unionByName(mesh)
+        .distinct()
+        .repartition(P, col("src"))
+        .localCheckpoint()
+      // queries + upper-layer entry points
+      val qp = vpack.where(col("vec_id").between(0, 3))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .localCheckpoint()
+      val upper = vpack.where(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("cand"), col("v").as("vb"))
+      val entry = qp.crossJoin(upper)
+        .select(col("qid"), col("cand"), d2("qv", "vb").as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dd"), col("cand"))))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("cand").as("vec_id"), col("dd"))
+      // beam rounds: ONE state relation (qid, vec_id, dd, exp) and
+      // ONE checkpoint per round (all rows ≤ 4·(B·9·rounds) — the
+      // densest-subgraph driver-loop convention; the three-relation
+      // best/visited/frontier form cost 3 checkpoint actions per
+      // round, ~2× the wall-clock, same semantics)
+      val bw = Window.partitionBy(col("qid"))
+        .orderBy(col("dd"), col("vec_id"))
+      var state = entry.withColumn("exp", lit(false)).localCheckpoint()
+      for (_ <- 1 to 5) {
+        // frontier = the 16 best not-yet-expanded per query
+        val front = state.where(!col("exp"))
+          .withColumn("rn", row_number().over(bw))
+          .where(col("rn") <= 16)
+          .select(col("qid"), col("vec_id"))
+        val cand = front.join(edges,
+            front("vec_id") === edges("src"))
+          .select(col("qid"), col("dst").as("vec_id")).distinct()
+          .join(state.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_anti")
+        val scored = cand
+          .join(vpack.select(col("vec_id"), col("v").as("vb")),
+            "vec_id")
+          .join(broadcast(qp), "qid")
+          .select(col("qid"), col("vec_id"), d2("qv", "vb").as("dd"),
+            lit(false).as("exp"))
+        state = state
+          .join(front.withColumn("f", lit(true)),
+            Seq("qid", "vec_id"), "left")
+          .select(col("qid"), col("vec_id"), col("dd"),
+            (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
+          .unionByName(scored)
+          .localCheckpoint()
+      }
+      state.where(col("vec_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dd"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          r6(col("dd").cast("double") / lit(1e12)).as("dist"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -286,6 +430,109 @@ object Extras148 {
          SELECT qid, rank, vec_id,
                 round(CAST(adc_i AS DOUBLE) / 1e12, 6) AS adc_dist,
                 round(CAST(true_i AS DOUBLE) / 1e12, 6) AS true_dist
-         FROM rk WHERE rank <= 10 ORDER BY qid, rank"""
+         FROM rk WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "q_llm_ann_hnsw" -> {
+      // 5 unrolled beam rounds; every multi-referenced CTE
+      // MATERIALIZED (the playbook re-evaluation rule — b/v/f chains
+      // would otherwise re-run exponentially).
+      val rounds = (1 to 5).map { t =>
+        s"""v$t AS MATERIALIZED (
+              SELECT qid, vec_id FROM v${t - 1}
+              UNION SELECT qid, vec_id FROM f${t - 1}),
+            c$t AS (SELECT DISTINCT f.qid, ed.dst AS vec_id
+                    FROM f${t - 1} f JOIN edges ed ON ed.src = f.vec_id
+                    WHERE NOT EXISTS (SELECT 1 FROM b${t - 1} b
+                      WHERE b.qid = f.qid AND b.vec_id = ed.dst)),
+            s$t AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM((qd.q6 - ev.q6) * (qd.q6 - ev.q6))
+                        AS BIGINT) AS dd
+                    FROM c$t c
+                    JOIN e ev ON ev.vec_id = c.vec_id
+                    JOIN qd ON qd.qid = c.qid AND qd.dim = ev.dim
+                    GROUP BY 1, 2),
+            b$t AS MATERIALIZED (
+              SELECT qid, vec_id, dd FROM b${t - 1}
+              UNION ALL SELECT qid, vec_id, dd FROM s$t),
+            f$t AS MATERIALIZED (
+              SELECT qid, vec_id FROM (
+                SELECT b.qid, b.vec_id, row_number() OVER (
+                  PARTITION BY b.qid ORDER BY b.dd, b.vec_id) AS rn
+                FROM b$t b
+                WHERE NOT EXISTS (SELECT 1 FROM v$t v
+                  WHERE v.qid = b.qid AND v.vec_id = b.vec_id)) t
+              WHERE rn <= 16)"""
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS MATERIALIZED (
+              SELECT vec_id, dim,
+                CAST(CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q6
+              FROM x),
+            nc AS (SELECT CASE WHEN COUNT(*) <= 512 THEN 8
+                        WHEN COUNT(*) <= 1024 THEN 16
+                        WHEN COUNT(*) <= 2048 THEN 32
+                        ELSE 64 END AS c
+                   FROM embeddings),
+            cent AS (SELECT vec_id AS ccid, dim, q6 AS c6
+                     FROM e, nc WHERE vec_id < c),
+            asg AS MATERIALIZED (
+              SELECT vec_id, ccid AS cell FROM (
+                SELECT e.vec_id, cent.ccid, row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY SUM(e.q6 * cent.c6) DESC, cent.ccid) AS rn
+                FROM e JOIN cent ON e.dim = cent.dim
+                GROUP BY e.vec_id, cent.ccid) t
+              WHERE rn = 1),
+            ee AS MATERIALIZED (
+              SELECT e.vec_id, e.dim, e.q6, asg.cell
+              FROM e JOIN asg USING (vec_id)),
+            knn AS (SELECT src, dst FROM (
+                    SELECT a.vec_id AS src, b.vec_id AS dst,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY SUM((a.q6 - b.q6) * (a.q6 - b.q6)),
+                          b.vec_id) AS rn
+                    FROM ee a JOIN ee b ON a.cell = b.cell
+                      AND a.dim = b.dim AND a.vec_id <> b.vec_id
+                    GROUP BY a.vec_id, b.vec_id) t
+                  WHERE rn <= 8),
+            hub AS MATERIALIZED (
+              SELECT cell, MIN(vec_id) AS h FROM asg GROUP BY cell),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM knn
+              UNION
+              SELECT asg.vec_id, hub.h FROM asg JOIN hub USING (cell)
+              WHERE asg.vec_id <> hub.h
+              UNION
+              SELECT a.h, b.h FROM hub a, hub b WHERE a.h <> b.h),
+            qd AS MATERIALIZED (
+              SELECT vec_id AS qid, dim, q6 FROM e
+              WHERE vec_id BETWEEN 0 AND 3),
+            up AS (SELECT vec_id FROM asg WHERE vec_id % 16 = 0),
+            b0 AS MATERIALIZED (
+              SELECT qid, vec_id, dd FROM (
+                SELECT qid, vec_id, dd, row_number() OVER (
+                  PARTITION BY qid ORDER BY dd, vec_id) AS rn
+                FROM (SELECT qd.qid, up.vec_id,
+                        CAST(SUM((qd.q6 - ev.q6) * (qd.q6 - ev.q6))
+                          AS BIGINT) AS dd
+                      FROM up
+                      JOIN e ev ON ev.vec_id = up.vec_id
+                      JOIN qd ON qd.dim = ev.dim
+                      GROUP BY 1, 2) z) t
+              WHERE rn = 1),
+            f0 AS MATERIALIZED (SELECT qid, vec_id FROM b0),
+            v0 AS (SELECT qid, vec_id FROM f0 WHERE 1 = 0),
+            $rounds
+         SELECT qid, rank, vec_id,
+                round(CAST(dd AS DOUBLE) / 1e12, 6) AS dist
+         FROM (SELECT qid, vec_id, dd,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dd, vec_id) AS BIGINT) AS rank
+               FROM b5 WHERE vec_id <> qid) rk
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    }
   )
 }
