@@ -670,7 +670,17 @@ object ScaleProbe {
       // hnsw: graph build is quadratic WITHIN adaptive cells (Σ occ²/c),
       // search is beam-bounded — the ratio guards the build staying
       // near-linear as cells widen with the corpus.
-      "q_llm_ann_hnsw" -> (d => SparkEntry.queries("q_llm_ann_hnsw")(spark, d).count())
+      "q_llm_ann_hnsw" -> (d => SparkEntry.queries("q_llm_ann_hnsw")(spark, d).count()),
+      // Round-13 part 3: matrix profile pairs the CALENDAR-bounded
+      // daily spine (positions don't grow with fact volume — the
+      // ratio guards the fact fold only); qini/pca2/mix/logit are
+      // single fact folds into bounded spines.
+      "q_ts_matrix_profile" -> (d => SparkEntry.queries("q_ts_matrix_profile")(spark, d).count()),
+      "q_ts_discord" -> (d => SparkEntry.queries("q_ts_discord")(spark, d).count()),
+      "q_ml_qini" -> (d => SparkEntry.queries("q_ml_qini")(spark, d).count()),
+      "q_agg_pca2" -> (d => SparkEntry.queries("q_agg_pca2")(spark, d).count()),
+      "q_llm_mix_temperature" -> (d => SparkEntry.queries("q_llm_mix_temperature")(spark, d).count()),
+      "q_llm_quality_logit" -> (d => SparkEntry.queries("q_llm_quality_logit")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
