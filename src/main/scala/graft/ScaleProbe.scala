@@ -680,7 +680,17 @@ object ScaleProbe {
       "q_ml_qini" -> (d => SparkEntry.queries("q_ml_qini")(spark, d).count()),
       "q_agg_pca2" -> (d => SparkEntry.queries("q_agg_pca2")(spark, d).count()),
       "q_llm_mix_temperature" -> (d => SparkEntry.queries("q_llm_mix_temperature")(spark, d).count()),
-      "q_llm_quality_logit" -> (d => SparkEntry.queries("q_llm_quality_logit")(spark, d).count())
+      "q_llm_quality_logit" -> (d => SparkEntry.queries("q_llm_quality_logit")(spark, d).count()),
+      // Round-13 part 4: core_decomp = 12 bounded peels over the 8×
+      // edge relation; esd/dominant_period ride the calendar-bounded
+      // daily spine; isotonic is a 10-cell minimax; named_window is
+      // one custkey window pass; curriculum one corpus ntile pass.
+      "q_graph_core_decomp" -> (d => SparkEntry.queries("q_graph_core_decomp")(spark, d).count()),
+      "q_ts_esd_outliers" -> (d => SparkEntry.queries("q_ts_esd_outliers")(spark, d).count()),
+      "q_ts_dominant_period" -> (d => SparkEntry.queries("q_ts_dominant_period")(spark, d).count()),
+      "q_ml_isotonic_calibration" -> (d => SparkEntry.queries("q_ml_isotonic_calibration")(spark, d).count()),
+      "q_sql_named_window" -> (d => SparkEntry.queries("q_sql_named_window")(spark, d).count()),
+      "q_llm_curriculum" -> (d => SparkEntry.queries("q_llm_curriculum")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
