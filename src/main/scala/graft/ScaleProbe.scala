@@ -690,7 +690,13 @@ object ScaleProbe {
       "q_ts_dominant_period" -> (d => SparkEntry.queries("q_ts_dominant_period")(spark, d).count()),
       "q_ml_isotonic_calibration" -> (d => SparkEntry.queries("q_ml_isotonic_calibration")(spark, d).count()),
       "q_sql_named_window" -> (d => SparkEntry.queries("q_sql_named_window")(spark, d).count()),
-      "q_llm_curriculum" -> (d => SparkEntry.queries("q_llm_curriculum")(spark, d).count())
+      "q_llm_curriculum" -> (d => SparkEntry.queries("q_llm_curriculum")(spark, d).count()),
+      // Round-13 part 5: one orders fold each (oba/snaive/records);
+      // cart is one user-shuffle click×purchase join.
+      "q_sql_order_by_all" -> (d => SparkEntry.queries("q_sql_order_by_all")(spark, d).count()),
+      "q_ts_snaive" -> (d => SparkEntry.queries("q_ts_snaive")(spark, d).count()),
+      "q_ts_records" -> (d => SparkEntry.queries("q_ts_records")(spark, d).count()),
+      "q_evt_cart_abandonment" -> (d => SparkEntry.queries("q_evt_cart_abandonment")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
