@@ -61,7 +61,12 @@ object PlanDump {
     "q_llm_dedup_incremental" -> "incremental dedup: batch-linear signatures, banded equi-join against the persisted store parquet, raw-shingle verify on candidates only",
     "q_graph_scc" -> "directed SCC: path-doubling closure (log-rounds, localCheckpoint each), mutual-min labels — closure-sized shuffles, no driver loop over data",
     "q_evt_adstock" -> "adstock: calendar-bounded daily spine × broadcast 31-day lookback, exact shift-halving terms, one groupBy",
-    "q_scan_sample_weighted" -> "weighted sample: one codegen'd projection (md5 uniform → ln(u)/w priority), global TakeOrderedAndProject heaps"
+    "q_scan_sample_weighted" -> "weighted sample: one codegen'd projection (md5 uniform → ln(u)/w priority), global TakeOrderedAndProject heaps",
+    "q_llm_ann_ivfpq_residual" -> "residual IVF-PQ (true IVFADC): packed zip_with encode + min(struct) argmin (no 65M-row shuffle), 256 stride-sampled residual codewords broadcast, per-probed-cell ADC table, exact rerank",
+    "q_llm_ann_hnsw" -> "HNSW beam ANN: packed-array coarse assign (max(struct) over broadcast dots), within-cell 8-NN graph + hub mesh, 5 single-state beam rounds (one checkpoint each), strided upper-layer entry",
+    "q_ts_matrix_profile" -> "matrix profile: calendar-bounded subsequence arrays broadcast-self-paired (≤2.4k rows at any fact volume), zip_with exact dollar² folds, min(struct) per position",
+    "q_graph_core_decomp" -> "k-core spectrum: 12 bounded checkpointed peels (k=1..4 × 3 rounds) over the shared edge relation — semi-join prune per round, 4 one-row driver reads",
+    "q_stream_live_router" -> "stream-stream right-outer: two watermarked file streams, time-interval join, per-side watermark decided-region cutoffs, NULLS LAST on the nullable left key"
   )
 
   def main(args: Array[String]): Unit = {
