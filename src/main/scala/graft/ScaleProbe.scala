@@ -696,7 +696,14 @@ object ScaleProbe {
       "q_sql_order_by_all" -> (d => SparkEntry.queries("q_sql_order_by_all")(spark, d).count()),
       "q_ts_snaive" -> (d => SparkEntry.queries("q_ts_snaive")(spark, d).count()),
       "q_ts_records" -> (d => SparkEntry.queries("q_ts_records")(spark, d).count()),
-      "q_evt_cart_abandonment" -> (d => SparkEntry.queries("q_evt_cart_abandonment")(spark, d).count())
+      "q_evt_cart_abandonment" -> (d => SparkEntry.queries("q_evt_cart_abandonment")(spark, d).count()),
+      // Round-13 part 6: lloyd adds ONE corpus groupBy (M-step) and a
+      // second packed encode to the residual skeleton — the ratio must
+      // stay ~linear like ivfpq_residual; hnsw_ml adds the strided L1
+      // graph ((nv/16)²/cell) + 3 four-row greedy hops on top of the
+      // hnsw base build, so its ratio tracks hnsw's.
+      "q_llm_ann_ivfpq_lloyd" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_lloyd")(spark, d).count()),
+      "q_llm_ann_hnsw_ml" -> (d => SparkEntry.queries("q_llm_ann_hnsw_ml")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -768,7 +775,7 @@ object ScaleProbe {
     // (round-12 verdict item 6: residual recall must be >= non-residual
     // at BOTH 1x and Kx — the whole point of encoding v - centroid).
     val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual",
-        "q_llm_ann_hnsw")
+        "q_llm_ann_hnsw", "q_llm_ann_ivfpq_lloyd", "q_llm_ann_hnsw_ml")
       .filter(kk => only.isEmpty || only(kk))
     if (ivfpqRecallKeys.nonEmpty) {
       def bruteTop10(d: String, qid: Long): Set[Long] = {

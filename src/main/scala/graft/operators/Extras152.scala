@@ -1,0 +1,610 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-13 additions, part 6: the two §8.0-r13 round-14 starting
+  * points, landed early —
+  *   (a) residual IVF-PQ with a TRAINED codebook (one exact Lloyd
+  *       update over the stride seed — the remaining gap to
+  *       production IVFADC);
+  *   (b) HNSW with a MULTI-LEVEL entry descent (greedy 1-at-a-time on
+  *       the upper strided layers, exactly the paper's ef=1 upper
+  *       search; the batched beam stays at layer 0 where the paper
+  *       itself uses ef>1).
+  *
+  * Scale shape: both inherit the Extras148 skeletons — corpus-linear
+  * coarse assignment / encode against broadcast codebooks, cell-pruned
+  * candidate scans, bounded reranks. The Lloyd update adds one
+  * corpus-sized groupBy (members → per-codeword mean) and one repeat
+  * of the packed encode; the multi-level descent adds three
+  * 4-row-driver greedy hops over an L1 graph whose build is
+  * (nv/16)²/cell — quadratic only within strided-and-cell-bounded
+  * blocks.
+  *
+  * Determinism contract (SURVEY §2.13): all distances are exact BIGINT
+  * micro² zip-folds; the Lloyd mean is an exact positive-shifted floor
+  * division ((Σ(r6+4e6)) div n − 4e6 — identical truncation on both
+  * engines because the numerator is forced non-negative; |r6| ≤ ~2.2e6
+  * bounds the shift); every argmin ties on an id; emitted distances
+  * are ONE IEEE division + r6 on both engines.
+  */
+object Extras152 {
+  import graft.Det._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RESIDUAL IVF-PQ + 1-step Lloyd-TRAINED codebook: seed = the
+    // Extras148 stride sample; assign all corpus residuals to the
+    // seed (packed argmin encode); update each codeword to the exact
+    // floor-mean of its members (empty codewords keep the seed);
+    // re-encode + ADC against the trained book; exact top-10 rerank.
+    "q_llm_ann_ivfpq_lloyd" -> ((s, d) => {
+      val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            * 1000000).cast("long").as("q6"))
+        .withColumn("sub", expr("(dim - 1) div 4"))
+        .repartition(P, col("vec_id")) // 1-partition expansion trap
+        .localCheckpoint()             // shared-subtree rule
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(col("nv"), when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+        .withColumn("np", when(col("c") <= 16, 2L).otherwise(4L))
+        .withColumn("s", greatest(lit(1L), expr("(nv - c) div 256")))
+      val cent = e.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
+        .select(col("vec_id").as("ccid"), col("dim"), col("q6").as("c6"))
+      val cd = e.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("ccid"))
+        .agg(sum(col("q6") * col("c6")).as("cdot"))
+        .localCheckpoint() // referenced by assign AND qprobe
+      val cw0 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("ccid"))
+      val assign = cd.withColumn("rn", row_number().over(cw0))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("ccid").as("cell"))
+      val qprobe = cd.where(col("vec_id").between(0, 3))
+        .withColumn("rn", row_number().over(cw0))
+        .crossJoin(broadcast(nc.select(col("np"))))
+        .where(col("rn") <= col("np"))
+        .select(col("vec_id").as("qid"), col("ccid").as("cell"))
+      val centR = cent.withColumnRenamed("dim", "cdim")
+      val resid = e.join(assign, "vec_id")
+        .join(broadcast(centR),
+          col("cell") === col("ccid") && col("dim") === col("cdim"))
+        .select(col("vec_id"), col("dim"), col("sub"),
+          (col("q6") - col("c6")).as("r6"))
+        .localCheckpoint() // seed book, BOTH encodes, Lloyd update
+      // seed codebook: 256 stride-sampled residuals outside the
+      // centroid block (the Extras148 non-overlap rule)
+      val rcb0 = resid.crossJoin(broadcast(nc.select(col("c"), col("s"))))
+        .where(col("vec_id") >= col("c")
+          && (col("vec_id") - col("c")) % col("s") === 0
+          && expr("(vec_id - c) div s") < 256)
+        .select(expr("(vec_id - c) div s").as("cw"), col("dim"),
+          col("r6").as("rc6"))
+        .localCheckpoint() // assign-encode AND the empty-cw fallback
+      // packed per-(vec, sub) residuals — computed ONCE, reused by
+      // both encodes (the dominant corpus-sized relation)
+      val rsub = resid.groupBy(col("vec_id"), col("sub"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("r6"))))
+          .as("rv"))
+        .repartition(P, col("vec_id")) // AQE would coalesce to 1
+        .localCheckpoint()
+      def encodeAgainst(book: DataFrame): DataFrame = {
+        val cbSub = book
+          .withColumn("sub", expr("(dim - 1) div 4"))
+          .groupBy(col("sub"), col("cw"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("rc6"))))
+            .as("cv"))
+        rsub.join(broadcast(cbSub), "sub")
+          .select(col("vec_id"), col("sub"), col("cw"), expr(
+            """aggregate(zip_with(rv, cv,
+                 (a, b) -> (a.r6 - b.rc6) * (a.r6 - b.rc6)),
+                 CAST(0 AS BIGINT), (s, v) -> s + v)""").as("dist"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("dist"), col("cw"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.cw").as("code"))
+      }
+      // Lloyd E-step on the seed, then the exact-integer M-step:
+      // positive-shifted floor mean (both engines truncate identically
+      // on a non-negative numerator; |r6| ≤ ~2.2e6 << the 4e6 shift)
+      val enc0 = encodeAgainst(rcb0)
+      val upd = resid.join(enc0, Seq("vec_id", "sub"))
+        .groupBy(col("code").as("cw"), col("dim"))
+        .agg(expr(
+          "CAST(sum(r6 + 4000000) div count(1) - 4000000 AS BIGINT)")
+          .as("rc6t"))
+      val rcb1 = rcb0.join(upd, Seq("cw", "dim"), "left")
+        .select(col("cw"), col("dim"),
+          coalesce(col("rc6t"), col("rc6")).as("rc6"))
+        .localCheckpoint() // re-encode AND the query ADC table
+      val enc = encodeAgainst(rcb1)
+      // query residual per probed cell → ADC vs the TRAINED book
+      val qe = e.where(col("vec_id").between(0, 3))
+        .select(col("vec_id").as("qid"), col("dim"), col("sub"),
+          col("q6").as("qq6"))
+      val qres = qprobe.join(qe, "qid")
+        .join(broadcast(centR),
+          col("cell") === col("ccid") && col("dim") === col("cdim"))
+        .select(col("qid"), col("cell"), col("dim"), col("sub"),
+          (col("qq6") - col("c6")).as("rq6"))
+      val adc = qres.join(broadcast(rcb1), "dim")
+        .groupBy(col("qid"), col("cell"), col("sub"), col("cw"))
+        .agg(sum((col("rq6") - col("rc6")) * (col("rq6") - col("rc6")))
+          .as("d_qc"))
+      val candv = assign.join(broadcast(qprobe), "cell")
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("cell"), col("vec_id"))
+      val scored = candv.join(enc, "vec_id")
+        .join(broadcast(adc), Seq("qid", "cell", "sub"))
+        .where(col("code") === col("cw"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d_qc")).as("adc_i"))
+      val cand = scored
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("adc_i"), col("vec_id"))))
+        .where(col("crank") <= 100)
+        .select(col("qid"), col("vec_id"), col("adc_i"))
+      val exact = cand.join(e.select(col("vec_id"), col("dim"),
+          col("q6").as("v6")), "vec_id")
+        .join(broadcast(qe.select(col("qid"), col("dim"), col("qq6"))),
+          Seq("qid", "dim"))
+        .groupBy(col("qid"), col("vec_id"), col("adc_i"))
+        .agg(sum((col("v6") - col("qq6")) * (col("v6") - col("qq6")))
+          .as("true_i"))
+      exact
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("true_i"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          r6(col("adc_i").cast("double") / lit(1e12)).as("adc_dist"),
+          r6(col("true_i").cast("double") / lit(1e12)).as("true_dist"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // HNSW MULTI-LEVEL: L2 = vec_id % 256 == 0 (L2 ⊆ L1 because
+    // 16 | 256 — the nested-stride analog of HNSW's geometric level
+    // nesting), L1 = vec_id % 16 == 0. Entry = exact nearest L2 node
+    // (corpus/256 scan); then THREE greedy 1-at-a-time hops over an
+    // L1 graph (per-cell 4-NN among L1 nodes ∪ L1-hub links — the
+    // paper's ef=1 upper-layer search, literally one expansion per
+    // hop); then the 4-round beam-16 layer-0 search over the
+    // Extras148 base graph.
+    "q_llm_ann_hnsw_ml" -> ((s, d) => {
+      val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val vpack0 = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            * 1000000).cast("long").as("q6"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("q6"))))
+          .as("v"))
+        .repartition(P, col("vec_id"))
+        .localCheckpoint()
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+      def d2(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b,
+              (x, y) -> (x.q6 - y.q6) * (x.q6 - y.q6)),
+              CAST(0 AS BIGINT), (s, v) -> s + v)""")
+      def dot(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, y) -> x.q6 * y.q6),
+              CAST(0 AS BIGINT), (s, v) -> s + v)""")
+      val centArr = vpack0.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
+        .select(col("vec_id").as("ccid"), col("v").as("cv"))
+      val assign = vpack0.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("ccid"), dot("v", "cv").as("cdot"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cdot"), (-col("ccid")).as("nid"))).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("cell"))
+      val vpack = vpack0.join(assign, "vec_id").localCheckpoint()
+      // layer-0 graph (the Extras148 base build)
+      val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
+        col("v").as("va"))
+      val vp2 = vpack.select(col("vec_id").as("dst"),
+        col("cell").as("cell2"), col("v").as("vb"))
+      val knn = vp1.join(vp2, col("cell") === col("cell2")
+          && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), d2("va", "vb").as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("dd"), col("dst"))))
+        .where(col("rn") <= 8)
+        .select(col("src"), col("dst"))
+      val hub = assign.groupBy(col("cell"))
+        .agg(min(col("vec_id")).as("h"))
+      val toHub = assign.join(hub, "cell")
+        .where(col("vec_id") =!= col("h"))
+        .select(col("vec_id").as("src"), col("h").as("dst"))
+      val mesh = hub.select(col("h").as("src"))
+        .crossJoin(hub.select(col("h").as("dst")))
+        .where(col("src") =!= col("dst"))
+      val edges = knn.unionByName(toHub).unionByName(mesh)
+        .distinct()
+        .repartition(P, col("src"))
+        .localCheckpoint()
+      // L1 graph: per-cell 4-NN among the stride-16 nodes ∪ each L1
+      // node ↔ its cell's L1 hub ∪ hub mesh (navigability when a hop
+      // must cross cells)
+      val l1 = vpack.where(col("vec_id") % 16 === 0)
+      val l1a = l1.select(col("vec_id").as("src"), col("cell"),
+        col("v").as("va"))
+      val l1b = l1.select(col("vec_id").as("dst"),
+        col("cell").as("cell2"), col("v").as("vb"))
+      val knn1 = l1a.join(l1b, col("cell") === col("cell2")
+          && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), d2("va", "vb").as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("dd"), col("dst"))))
+        .where(col("rn") <= 4)
+        .select(col("src"), col("dst"))
+      val hub1 = l1.groupBy(col("cell"))
+        .agg(min(col("vec_id")).as("h"))
+      val toHub1 = l1.select(col("vec_id"), col("cell")).join(hub1, "cell")
+        .where(col("vec_id") =!= col("h"))
+        .select(col("vec_id").as("src"), col("h").as("dst"))
+      val mesh1 = hub1.select(col("h").as("src"))
+        .crossJoin(hub1.select(col("h").as("dst")))
+        .where(col("src") =!= col("dst"))
+      val edges1 = knn1.unionByName(toHub1).unionByName(mesh1)
+        .distinct()
+        .localCheckpoint()
+      val qp = vpack.where(col("vec_id").between(0, 3))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .localCheckpoint()
+      // L2 entry: exact nearest stride-256 node per query
+      val upper2 = vpack.where(col("vec_id") % 256 === 0)
+        .select(col("vec_id").as("cand"), col("v").as("vb"))
+      def rescore(cand: DataFrame): DataFrame = cand
+        .join(vpack.select(col("vec_id"), col("v").as("vb")), "vec_id")
+        .join(broadcast(qp), "qid")
+        .select(col("qid"), col("vec_id"), d2("qv", "vb").as("dd"))
+      var cur = qp.crossJoin(upper2)
+        .select(col("qid"), col("cand").as("vec_id"),
+          d2("qv", "vb").as("dd"))
+        .groupBy(col("qid"))
+        .agg(min(struct(col("dd"), col("vec_id"))).as("m"))
+        .select(col("qid"), col("m.vec_id").as("vec_id"),
+          col("m.dd").as("dd"))
+        .localCheckpoint()
+      // greedy ef=1 descent: 3 hops, each expands exactly the ONE
+      // current node (paper-parity upper search; state is 4 rows)
+      for (_ <- 1 to 3) {
+        val nb = cur.join(edges1, cur("vec_id") === edges1("src"))
+          .select(col("qid"), col("dst").as("vec_id"))
+        val cand = nb.unionByName(cur.select(col("qid"), col("vec_id")))
+          .distinct()
+        cur = rescore(cand)
+          .groupBy(col("qid"))
+          .agg(min(struct(col("dd"), col("vec_id"))).as("m"))
+          .select(col("qid"), col("m.vec_id").as("vec_id"),
+            col("m.dd").as("dd"))
+          .localCheckpoint()
+      }
+      // layer-0 beam-16 search seeded from the descended entry
+      val bw = Window.partitionBy(col("qid"))
+        .orderBy(col("dd"), col("vec_id"))
+      var state = cur.withColumn("exp", lit(false)).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val front = state.where(!col("exp"))
+          .withColumn("rn", row_number().over(bw))
+          .where(col("rn") <= 16)
+          .select(col("qid"), col("vec_id"))
+        val cand = front.join(edges, front("vec_id") === edges("src"))
+          .select(col("qid"), col("dst").as("vec_id")).distinct()
+          .join(state.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_anti")
+        val scored = rescore(cand).withColumn("exp", lit(false))
+        state = state
+          .join(front.withColumn("f", lit(true)),
+            Seq("qid", "vec_id"), "left")
+          .select(col("qid"), col("vec_id"), col("dd"),
+            (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
+          .unionByName(scored)
+          .localCheckpoint()
+      }
+      state.where(col("vec_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dd"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          r6(col("dd").cast("double") / lit(1e12)).as("dist"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_llm_ann_ivfpq_lloyd" ->
+      """WITH x AS (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS MATERIALIZED (
+              SELECT vec_id, dim, (dim - 1) // 4 AS sub,
+                CAST(CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q6
+              FROM x),
+            nc AS (SELECT COUNT(*) AS nv,
+                     CASE WHEN COUNT(*) <= 512 THEN 8
+                        WHEN COUNT(*) <= 1024 THEN 16
+                        WHEN COUNT(*) <= 2048 THEN 32
+                        ELSE 64 END AS c,
+                     CASE WHEN COUNT(*) <= 1024 THEN 2 ELSE 4 END AS np,
+                     greatest(1, (COUNT(*)
+                       - CASE WHEN COUNT(*) <= 512 THEN 8
+                           WHEN COUNT(*) <= 1024 THEN 16
+                           WHEN COUNT(*) <= 2048 THEN 32
+                           ELSE 64 END) // 256) AS s
+                   FROM embeddings),
+            cent AS MATERIALIZED (
+              SELECT vec_id AS ccid, dim, q6 AS c6
+              FROM e, nc WHERE vec_id < c),
+            cd AS MATERIALIZED (
+              SELECT e.vec_id, cent.ccid,
+                CAST(SUM(e.q6 * cent.c6) AS BIGINT) AS cdot
+              FROM e JOIN cent ON e.dim = cent.dim
+              GROUP BY 1, 2),
+            assign AS MATERIALIZED (
+              SELECT vec_id, ccid AS cell FROM (
+                SELECT vec_id, ccid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cdot DESC, ccid) AS rn
+                FROM cd) t WHERE rn = 1),
+            qprobe AS (SELECT vec_id AS qid, ccid AS cell FROM (
+                       SELECT vec_id, ccid, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cdot DESC, ccid)
+                         AS rn
+                       FROM cd WHERE vec_id BETWEEN 0 AND 3) t, nc
+                       WHERE rn <= np),
+            resid AS MATERIALIZED (
+              SELECT e.vec_id, e.dim, e.sub, e.q6 - cent.c6 AS r6
+              FROM e
+              JOIN assign ON assign.vec_id = e.vec_id
+              JOIN cent ON cent.ccid = assign.cell
+                AND cent.dim = e.dim),
+            rcb0 AS MATERIALIZED (
+              SELECT (vec_id - c) // s AS cw, dim, r6 AS rc6
+              FROM resid, nc
+              WHERE vec_id >= c AND (vec_id - c) % s = 0
+                AND (vec_id - c) // s < 256),
+            enc0 AS MATERIALIZED (
+              SELECT vec_id, sub, cw AS code FROM (
+                SELECT resid.vec_id, resid.sub, rcb0.cw,
+                  row_number() OVER (
+                    PARTITION BY resid.vec_id, resid.sub
+                    ORDER BY SUM((resid.r6 - rcb0.rc6)
+                      * (resid.r6 - rcb0.rc6)), rcb0.cw) AS rn
+                FROM resid JOIN rcb0 ON resid.dim = rcb0.dim
+                GROUP BY resid.vec_id, resid.sub, rcb0.cw) t
+              WHERE rn = 1),
+            upd AS (SELECT enc0.code AS cw, r.dim,
+                      CAST(SUM(r.r6 + 4000000) // COUNT(*) - 4000000
+                        AS BIGINT) AS rc6t
+                    FROM resid r
+                    JOIN enc0 ON enc0.vec_id = r.vec_id
+                      AND enc0.sub = r.sub
+                    GROUP BY 1, 2),
+            rcb1 AS MATERIALIZED (
+              SELECT s.cw, s.dim, COALESCE(u.rc6t, s.rc6) AS rc6
+              FROM rcb0 s LEFT JOIN upd u
+                ON u.cw = s.cw AND u.dim = s.dim),
+            encd AS (SELECT vec_id, sub, cw AS code FROM (
+                     SELECT resid.vec_id, resid.sub, rcb1.cw,
+                       row_number() OVER (
+                         PARTITION BY resid.vec_id, resid.sub
+                         ORDER BY SUM((resid.r6 - rcb1.rc6)
+                           * (resid.r6 - rcb1.rc6)), rcb1.cw) AS rn
+                     FROM resid JOIN rcb1 ON resid.dim = rcb1.dim
+                     GROUP BY resid.vec_id, resid.sub, rcb1.cw) t
+                   WHERE rn = 1),
+            qe AS (SELECT vec_id AS qid, dim, sub, q6 FROM e
+                   WHERE vec_id BETWEEN 0 AND 3),
+            qres AS (SELECT qprobe.qid, qprobe.cell, qe.dim, qe.sub,
+                       qe.q6 - cent.c6 AS rq6
+                     FROM qprobe
+                     JOIN qe ON qe.qid = qprobe.qid
+                     JOIN cent ON cent.ccid = qprobe.cell
+                       AND cent.dim = qe.dim),
+            adc AS (SELECT qres.qid, qres.cell, qres.sub, rcb1.cw,
+                      CAST(SUM((qres.rq6 - rcb1.rc6)
+                        * (qres.rq6 - rcb1.rc6)) AS BIGINT) AS d_qc
+                    FROM qres JOIN rcb1 ON qres.dim = rcb1.dim
+                    GROUP BY 1, 2, 3, 4),
+            candv AS (SELECT qprobe.qid, qprobe.cell, assign.vec_id
+                      FROM assign JOIN qprobe USING (cell)
+                      WHERE assign.vec_id <> qprobe.qid),
+            scored AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM(adc.d_qc) AS BIGINT) AS adc_i
+                    FROM candv c
+                    JOIN encd ON encd.vec_id = c.vec_id
+                    JOIN adc ON adc.qid = c.qid AND adc.cell = c.cell
+                      AND adc.sub = encd.sub AND adc.cw = encd.code
+                    GROUP BY 1, 2),
+            cand AS (SELECT qid, vec_id, adc_i FROM (
+                     SELECT qid, vec_id, adc_i,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_i, vec_id) AS crank
+                     FROM scored) t
+                   WHERE crank <= 100),
+            ex AS (SELECT cand.qid, cand.vec_id, cand.adc_i,
+                      CAST(SUM((ev.q6 - qe.q6) * (ev.q6 - qe.q6))
+                        AS BIGINT) AS true_i
+                    FROM cand
+                    JOIN e ev ON ev.vec_id = cand.vec_id
+                    JOIN qe ON qe.qid = cand.qid AND qe.dim = ev.dim
+                    GROUP BY 1, 2, 3),
+            rk AS (SELECT qid, vec_id, adc_i, true_i,
+                      CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY true_i, vec_id) AS BIGINT) AS rank
+                    FROM ex)
+         SELECT qid, rank, vec_id,
+                round(CAST(adc_i AS DOUBLE) / 1e12, 6) AS adc_dist,
+                round(CAST(true_i AS DOUBLE) / 1e12, 6) AS true_dist
+         FROM rk WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "q_llm_ann_hnsw_ml" -> {
+      // 3 unrolled greedy hops + 4 unrolled beam rounds; every
+      // multi-referenced CTE MATERIALIZED (the re-evaluation rule).
+      val greedy = (1 to 3).map { t =>
+        s"""gc$t AS (SELECT g.qid, ed.dst AS vec_id
+                    FROM g${t - 1} g JOIN edges1 ed ON ed.src = g.vec_id
+                    UNION
+                    SELECT qid, vec_id FROM g${t - 1}),
+            gs$t AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM((qd.q6 - ev.q6) * (qd.q6 - ev.q6))
+                        AS BIGINT) AS dd
+                    FROM gc$t c
+                    JOIN e ev ON ev.vec_id = c.vec_id
+                    JOIN qd ON qd.qid = c.qid AND qd.dim = ev.dim
+                    GROUP BY 1, 2),
+            g$t AS MATERIALIZED (
+              SELECT qid, vec_id, dd FROM (
+                SELECT qid, vec_id, dd, row_number() OVER (
+                  PARTITION BY qid ORDER BY dd, vec_id) AS rn
+                FROM gs$t) t WHERE rn = 1)"""
+      }.mkString(",\n")
+      val rounds = (1 to 4).map { t =>
+        s"""v$t AS MATERIALIZED (
+              SELECT qid, vec_id FROM v${t - 1}
+              UNION SELECT qid, vec_id FROM f${t - 1}),
+            c$t AS (SELECT DISTINCT f.qid, ed.dst AS vec_id
+                    FROM f${t - 1} f JOIN edges ed ON ed.src = f.vec_id
+                    WHERE NOT EXISTS (SELECT 1 FROM b${t - 1} b
+                      WHERE b.qid = f.qid AND b.vec_id = ed.dst)),
+            s$t AS (SELECT c.qid, c.vec_id,
+                      CAST(SUM((qd.q6 - ev.q6) * (qd.q6 - ev.q6))
+                        AS BIGINT) AS dd
+                    FROM c$t c
+                    JOIN e ev ON ev.vec_id = c.vec_id
+                    JOIN qd ON qd.qid = c.qid AND qd.dim = ev.dim
+                    GROUP BY 1, 2),
+            b$t AS MATERIALIZED (
+              SELECT qid, vec_id, dd FROM b${t - 1}
+              UNION ALL SELECT qid, vec_id, dd FROM s$t),
+            f$t AS MATERIALIZED (
+              SELECT qid, vec_id FROM (
+                SELECT b.qid, b.vec_id, row_number() OVER (
+                  PARTITION BY b.qid ORDER BY b.dd, b.vec_id) AS rn
+                FROM b$t b
+                WHERE NOT EXISTS (SELECT 1 FROM v$t v
+                  WHERE v.qid = b.qid AND v.vec_id = b.vec_id)) t
+              WHERE rn <= 16)"""
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, embedding,
+                      unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+            e AS MATERIALIZED (
+              SELECT vec_id, dim,
+                CAST(CAST(round(CAST(embedding[dim] AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q6
+              FROM x),
+            nc AS (SELECT CASE WHEN COUNT(*) <= 512 THEN 8
+                        WHEN COUNT(*) <= 1024 THEN 16
+                        WHEN COUNT(*) <= 2048 THEN 32
+                        ELSE 64 END AS c
+                   FROM embeddings),
+            cent AS (SELECT vec_id AS ccid, dim, q6 AS c6
+                     FROM e, nc WHERE vec_id < c),
+            asg AS MATERIALIZED (
+              SELECT vec_id, ccid AS cell FROM (
+                SELECT e.vec_id, cent.ccid, row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY SUM(e.q6 * cent.c6) DESC, cent.ccid) AS rn
+                FROM e JOIN cent ON e.dim = cent.dim
+                GROUP BY e.vec_id, cent.ccid) t
+              WHERE rn = 1),
+            ee AS MATERIALIZED (
+              SELECT e.vec_id, e.dim, e.q6, asg.cell
+              FROM e JOIN asg USING (vec_id)),
+            knn AS (SELECT src, dst FROM (
+                    SELECT a.vec_id AS src, b.vec_id AS dst,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY SUM((a.q6 - b.q6) * (a.q6 - b.q6)),
+                          b.vec_id) AS rn
+                    FROM ee a JOIN ee b ON a.cell = b.cell
+                      AND a.dim = b.dim AND a.vec_id <> b.vec_id
+                    GROUP BY a.vec_id, b.vec_id) t
+                  WHERE rn <= 8),
+            hub AS MATERIALIZED (
+              SELECT cell, MIN(vec_id) AS h FROM asg GROUP BY cell),
+            edges AS MATERIALIZED (
+              SELECT src, dst FROM knn
+              UNION
+              SELECT asg.vec_id, hub.h FROM asg JOIN hub USING (cell)
+              WHERE asg.vec_id <> hub.h
+              UNION
+              SELECT a.h, b.h FROM hub a, hub b WHERE a.h <> b.h),
+            l1 AS MATERIALIZED (
+              SELECT vec_id, cell FROM asg WHERE vec_id % 16 = 0),
+            ee1 AS MATERIALIZED (
+              SELECT e.vec_id, e.dim, e.q6, l1.cell
+              FROM e JOIN l1 USING (vec_id)),
+            knn1 AS (SELECT src, dst FROM (
+                    SELECT a.vec_id AS src, b.vec_id AS dst,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY SUM((a.q6 - b.q6) * (a.q6 - b.q6)),
+                          b.vec_id) AS rn
+                    FROM ee1 a JOIN ee1 b ON a.cell = b.cell
+                      AND a.dim = b.dim AND a.vec_id <> b.vec_id
+                    GROUP BY a.vec_id, b.vec_id) t
+                  WHERE rn <= 4),
+            hub1 AS MATERIALIZED (
+              SELECT cell, MIN(vec_id) AS h FROM l1 GROUP BY cell),
+            edges1 AS MATERIALIZED (
+              SELECT src, dst FROM knn1
+              UNION
+              SELECT l1.vec_id, hub1.h FROM l1 JOIN hub1 USING (cell)
+              WHERE l1.vec_id <> hub1.h
+              UNION
+              SELECT a.h, b.h FROM hub1 a, hub1 b WHERE a.h <> b.h),
+            qd AS MATERIALIZED (
+              SELECT vec_id AS qid, dim, q6 FROM e
+              WHERE vec_id BETWEEN 0 AND 3),
+            up2 AS (SELECT vec_id FROM asg WHERE vec_id % 256 = 0),
+            g0 AS MATERIALIZED (
+              SELECT qid, vec_id, dd FROM (
+                SELECT qid, vec_id, dd, row_number() OVER (
+                  PARTITION BY qid ORDER BY dd, vec_id) AS rn
+                FROM (SELECT qd.qid, up2.vec_id,
+                        CAST(SUM((qd.q6 - ev.q6) * (qd.q6 - ev.q6))
+                          AS BIGINT) AS dd
+                      FROM up2
+                      JOIN e ev ON ev.vec_id = up2.vec_id
+                      JOIN qd ON qd.dim = ev.dim
+                      GROUP BY 1, 2) z) t
+              WHERE rn = 1),
+            $greedy,
+            b0 AS MATERIALIZED (SELECT qid, vec_id, dd FROM g3),
+            f0 AS MATERIALIZED (SELECT qid, vec_id FROM b0),
+            v0 AS (SELECT qid, vec_id FROM f0 WHERE 1 = 0),
+            $rounds
+         SELECT qid, rank, vec_id,
+                round(CAST(dd AS DOUBLE) / 1e12, 6) AS dist
+         FROM (SELECT qid, vec_id, dd,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY dd, vec_id) AS BIGINT) AS rank
+               FROM b4 WHERE vec_id <> qid) rk
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    }
+  )
+}
