@@ -703,7 +703,16 @@ object ScaleProbe {
       // graph ((nv/16)²/cell) + 3 four-row greedy hops on top of the
       // hnsw base build, so its ratio tracks hnsw's.
       "q_llm_ann_ivfpq_lloyd" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_lloyd")(spark, d).count()),
-      "q_llm_ann_hnsw_ml" -> (d => SparkEntry.queries("q_llm_ann_hnsw_ml")(spark, d).count())
+      "q_llm_ann_hnsw_ml" -> (d => SparkEntry.queries("q_llm_ann_hnsw_ml")(spark, d).count()),
+      // Round-13 part 7: three discount-spine ML folds (log_loss /
+      // fairness with broadcast dim groups / per-fold AUC), two
+      // single-window SQL surfaces, and the 3-fold density audit.
+      "q_ml_log_loss" -> (d => SparkEntry.queries("q_ml_log_loss")(spark, d).count()),
+      "q_ml_fairness_parity" -> (d => SparkEntry.queries("q_ml_fairness_parity")(spark, d).count()),
+      "q_ml_cv_auc" -> (d => SparkEntry.queries("q_ml_cv_auc")(spark, d).count()),
+      "q_join_positional" -> (d => SparkEntry.queries("q_join_positional")(spark, d).count()),
+      "q_sql_distinct_on" -> (d => SparkEntry.queries("q_sql_distinct_on")(spark, d).count()),
+      "q_dq_key_density" -> (d => SparkEntry.queries("q_dq_key_density")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
