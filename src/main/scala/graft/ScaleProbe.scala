@@ -712,7 +712,14 @@ object ScaleProbe {
       "q_ml_cv_auc" -> (d => SparkEntry.queries("q_ml_cv_auc")(spark, d).count()),
       "q_join_positional" -> (d => SparkEntry.queries("q_join_positional")(spark, d).count()),
       "q_sql_distinct_on" -> (d => SparkEntry.queries("q_sql_distinct_on")(spark, d).count()),
-      "q_dq_key_density" -> (d => SparkEntry.queries("q_dq_key_density")(spark, d).count())
+      "q_dq_key_density" -> (d => SparkEntry.queries("q_dq_key_density")(spark, d).count()),
+      // Round-13 part 8: bowtie/diameter ride the sampled-population
+      // closure/BFS kernels (bounded like scc/bfs); session_window is
+      // one user shuffle; kish a map-side fold.
+      "q_graph_bowtie" -> (d => SparkEntry.queries("q_graph_bowtie")(spark, d).count()),
+      "q_graph_diameter" -> (d => SparkEntry.queries("q_graph_diameter")(spark, d).count()),
+      "q_win_session_window" -> (d => SparkEntry.queries("q_win_session_window")(spark, d).count()),
+      "q_agg_kish_deff" -> (d => SparkEntry.queries("q_agg_kish_deff")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
