@@ -64,6 +64,7 @@ object FixtureCache {
     "orders_snapshots"        -> "q_snapshot_diff",
     "orders_evolving"         -> "q_source_merge_schema",
     "customer_csv_quoted"     -> "q_source_csv_quoted",
+    "customer_xml"            -> "q_source_xml",
     "part_csv_gzip"           -> "q_source_csv_gzip",
     "orders_json_nested"      -> "q_source_json_nested",
     "orders_csv_corrupt"      -> "q_source_csv_corrupt",

@@ -719,7 +719,14 @@ object ScaleProbe {
       "q_graph_bowtie" -> (d => SparkEntry.queries("q_graph_bowtie")(spark, d).count()),
       "q_graph_diameter" -> (d => SparkEntry.queries("q_graph_diameter")(spark, d).count()),
       "q_win_session_window" -> (d => SparkEntry.queries("q_win_session_window")(spark, d).count()),
-      "q_agg_kish_deff" -> (d => SparkEntry.queries("q_agg_kish_deff")(spark, d).count())
+      "q_agg_kish_deff" -> (d => SparkEntry.queries("q_agg_kish_deff")(spark, d).count()),
+      // Round-13 part 9: privacy pair = one orders shuffle onto the
+      // bounded QI grid; delong = the discount-spine fold; xml = the
+      // FixtureCache'd round-trip (ingest charged to prewarm).
+      "q_dq_l_diversity" -> (d => SparkEntry.queries("q_dq_l_diversity")(spark, d).count()),
+      "q_dq_t_closeness" -> (d => SparkEntry.queries("q_dq_t_closeness")(spark, d).count()),
+      "q_ml_auc_delong" -> (d => SparkEntry.queries("q_ml_auc_delong")(spark, d).count()),
+      "q_source_xml" -> (d => SparkEntry.queries("q_source_xml")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
