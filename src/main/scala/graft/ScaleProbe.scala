@@ -732,7 +732,13 @@ object ScaleProbe {
       // folds (tail's price spine cum-window is the one to watch).
       "q_graph_triad_census" -> (d => SparkEntry.queries("q_graph_triad_census")(spark, d).count()),
       "q_ml_ap_11point" -> (d => SparkEntry.queries("q_ml_ap_11point")(spark, d).count()),
-      "q_agg_tail_dependence" -> (d => SparkEntry.queries("q_agg_tail_dependence")(spark, d).count())
+      "q_agg_tail_dependence" -> (d => SparkEntry.queries("q_agg_tail_dependence")(spark, d).count()),
+      // Round-13 part 11: shesd = calendar-spine medians + 3 argmax
+      // rounds; the other three are single spine/contingency folds.
+      "q_ts_shesd" -> (d => SparkEntry.queries("q_ts_shesd")(spark, d).count()),
+      "q_ml_youden_cost" -> (d => SparkEntry.queries("q_ml_youden_cost")(spark, d).count()),
+      "q_ml_brier_decomp" -> (d => SparkEntry.queries("q_ml_brier_decomp")(spark, d).count()),
+      "q_agg_mutual_info" -> (d => SparkEntry.queries("q_agg_mutual_info")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
