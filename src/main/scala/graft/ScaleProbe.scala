@@ -738,7 +738,12 @@ object ScaleProbe {
       "q_ts_shesd" -> (d => SparkEntry.queries("q_ts_shesd")(spark, d).count()),
       "q_ml_youden_cost" -> (d => SparkEntry.queries("q_ml_youden_cost")(spark, d).count()),
       "q_ml_brier_decomp" -> (d => SparkEntry.queries("q_ml_brier_decomp")(spark, d).count()),
-      "q_agg_mutual_info" -> (d => SparkEntry.queries("q_agg_mutual_info")(spark, d).count())
+      "q_agg_mutual_info" -> (d => SparkEntry.queries("q_agg_mutual_info")(spark, d).count()),
+      // Round-13 part 12: mrr/rbo = one corpus pass against ≤4
+      // broadcast queries; durbin_watson = calendar-spine fold.
+      "q_llm_mrr" -> (d => SparkEntry.queries("q_llm_mrr")(spark, d).count()),
+      "q_llm_rbo" -> (d => SparkEntry.queries("q_llm_rbo")(spark, d).count()),
+      "q_ts_durbin_watson" -> (d => SparkEntry.queries("q_ts_durbin_watson")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
