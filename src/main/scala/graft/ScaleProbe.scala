@@ -743,7 +743,9 @@ object ScaleProbe {
       // broadcast queries; durbin_watson = calendar-spine fold.
       "q_llm_mrr" -> (d => SparkEntry.queries("q_llm_mrr")(spark, d).count()),
       "q_llm_rbo" -> (d => SparkEntry.queries("q_llm_rbo")(spark, d).count()),
-      "q_ts_durbin_watson" -> (d => SparkEntry.queries("q_ts_durbin_watson")(spark, d).count())
+      "q_ts_durbin_watson" -> (d => SparkEntry.queries("q_ts_durbin_watson")(spark, d).count()),
+      // Round-13 part 13: one orders fold + two calendar lag windows.
+      "q_ts_arma11_hr" -> (d => SparkEntry.queries("q_ts_arma11_hr")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
