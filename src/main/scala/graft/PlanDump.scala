@@ -66,7 +66,11 @@ object PlanDump {
     "q_llm_ann_hnsw" -> "HNSW beam ANN: packed-array coarse assign (max(struct) over broadcast dots), within-cell 8-NN graph + hub mesh, 5 single-state beam rounds (one checkpoint each), strided upper-layer entry",
     "q_ts_matrix_profile" -> "matrix profile: calendar-bounded subsequence arrays broadcast-self-paired (≤2.4k rows at any fact volume), zip_with exact dollar² folds, min(struct) per position",
     "q_graph_core_decomp" -> "k-core spectrum: 12 bounded checkpointed peels (k=1..4 × 3 rounds) over the shared edge relation — semi-join prune per round, 4 one-row driver reads",
-    "q_stream_live_router" -> "stream-stream right-outer: two watermarked file streams, time-interval join, per-side watermark decided-region cutoffs, NULLS LAST on the nullable left key"
+    "q_stream_live_router" -> "stream-stream right-outer: two watermarked file streams, time-interval join, per-side watermark decided-region cutoffs, NULLS LAST on the nullable left key",
+    "q_llm_ann_ivfpq_lloyd" -> "trained residual IVF-PQ: one exact Lloyd update (packed E-step encode, positive-shifted floor-mean M-step), rsub packed once and reused by both encodes, trained book broadcast to ADC",
+    "q_llm_ann_hnsw_ml" -> "multi-level HNSW: stride-256 L2 exact entry (corpus/256 scan), 3 greedy ef=1 hops on the L1 graph (4-row driver state), then the 4-round beam-16 layer-0 search",
+    "q_graph_triad_census" -> "triad census (Batagelj-Mrvar): wedge-connected triples only (Σdeg² on support dyads), three broadcast dyad-flag joins, one-dyad classes arithmetic — never |D|·n",
+    "q_graph_bowtie" -> "bow-tie census: path-doubling closure to count fixpoint, giant SCC by max(struct), in/out regions via anti-joined reachability projections"
   )
 
   def main(args: Array[String]): Unit = {
