@@ -139,9 +139,9 @@ object Extras154 {
       val s2 = m2.agg(max(struct(col("h"), (-col("u")).as("nu"))).as("m"))
         .select((-col("m.nu")).as("u2"), col("m.h").as("diam_lb"))
       u0.select(col("u").as("u0"))
-        .crossJoin(s1.select(col("ecc0"), col("u").as("u1")))
-        .crossJoin(m1.agg(count(lit(1)).as("n_reach")))
-        .crossJoin(s2)
+        .crossJoin(broadcast(s1.select(col("ecc0"), col("u").as("u1"))))
+        .crossJoin(broadcast(m1.agg(count(lit(1)).as("n_reach"))))
+        .crossJoin(broadcast(s2))
         .select(col("u0"), col("ecc0").cast("long").as("ecc0"),
           col("n_reach"), col("u1"),
           col("diam_lb").cast("long").as("diam_lb"), col("u2"))

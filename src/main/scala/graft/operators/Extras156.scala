@@ -142,7 +142,7 @@ object Extras156 {
         .withColumn("tp", sum(col("c1")).over(w))
         .withColumn("fp", sum(col("c0")).over(w))
       val grid = s.range(0, 11).select(col("id").as("r"))
-      grid.join(th.crossJoin(broadcast(tot)),
+      grid.join(broadcast(th.crossJoin(broadcast(tot))),
           col("tp") * 10 >= col("r") * col("n1"))
         .select(col("r"),
           (col("tp").cast("double")

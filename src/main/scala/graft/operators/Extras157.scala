@@ -116,7 +116,7 @@ object Extras157 {
           Window.orderBy(col("cost"), col("v"))))
         .where(col("rn") === 1)
         .select(col("v").as("cost_threshold_bp"), col("cost"))
-      j.crossJoin(c)
+      j.crossJoin(broadcast(c))
     }),
 
     // BRIER DECOMPOSITION (Murphy): reliability − resolution +
