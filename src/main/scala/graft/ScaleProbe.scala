@@ -727,9 +727,12 @@ object ScaleProbe {
       "q_dq_t_closeness" -> (d => SparkEntry.queries("q_dq_t_closeness")(spark, d).count()),
       "q_ml_auc_delong" -> (d => SparkEntry.queries("q_ml_auc_delong")(spark, d).count()),
       "q_source_xml" -> (d => SparkEntry.queries("q_source_xml")(spark, d).count()),
-      // Round-13 part 10: census = |support dyads|·n triples (never
-      // n³) against a broadcast flag relation; ap11/tail are spine
-      // folds (tail's price spine cum-window is the one to watch).
+      // Round-13 part 10: census enumerates only wedge-connected
+      // triples (Σdeg² on the support dyads, the Batagelj-Mrvar
+      // form — the first-cut |D|·n enumeration probed 58× at K=8 and
+      // was replaced; one-dyad classes derive arithmetically);
+      // ap11/tail are spine folds (tail's price spine cum-window is
+      // the one to watch).
       "q_graph_triad_census" -> (d => SparkEntry.queries("q_graph_triad_census")(spark, d).count()),
       "q_ml_ap_11point" -> (d => SparkEntry.queries("q_ml_ap_11point")(spark, d).count()),
       "q_agg_tail_dependence" -> (d => SparkEntry.queries("q_agg_tail_dependence")(spark, d).count()),

@@ -94,15 +94,20 @@ object Extras153 {
         .select(
           (col("pp").cast("double") / col("n").cast("double"))
             .as("all_ppr"),
-          (col("tp").cast("double")
+          when(col("tp") + col("fn") > 0, col("tp").cast("double")
             / (col("tp") + col("fn")).cast("double")).as("all_tpr"),
-          (col("fp").cast("double")
+          when(col("fp") + col("tn") > 0, col("fp").cast("double")
             / (col("fp") + col("tn")).cast("double")).as("all_fpr"))
+      // single-class guards (round-13 advice): a group with no actual
+      // positives (tp+fn = 0) or no actual negatives (fp+tn = 0) emits
+      // NULL on both engines (when() here, NULLIF in the oracle)
+      // instead of the engine-dependent 0/0 — Spark NaN vs DuckDB's
+      // ieee_floating_point_ops-dependent behavior.
       val ppr = col("pp").cast("double") / col("n").cast("double")
-      val tpr = col("tp").cast("double") /
-        (col("tp") + col("fn")).cast("double")
-      val fpr = col("fp").cast("double") /
-        (col("fp") + col("tn")).cast("double")
+      val tpr = when(col("tp") + col("fn") > 0, col("tp").cast("double")
+        / (col("tp") + col("fn")).cast("double"))
+      val fpr = when(col("fp") + col("tn") > 0, col("fp").cast("double")
+        / (col("fp") + col("tn")).cast("double"))
       g.crossJoin(broadcast(tot))
         .select(col("grp"), col("n"),
           r6(ppr).as("pos_rate"), r6(tpr).as("tpr"), r6(fpr).as("fpr"),
@@ -131,9 +136,11 @@ object Extras153 {
       val n1 = col("n_pos").cast(Big)
       val num = (col("t1") - n1 * (col("n_pos") + 1).cast(Big))
         .cast("double")
+      // single-class fold guard (round-13 advice): n_pos*n_neg = 0
+      // emits NULL on both engines instead of divergent 0/0.
       m.select(col("fold"), col("n_pos"), col("n_neg"),
-          r6(num / 2 /
-            (n1 * col("n_neg").cast(Big)).cast("double")).as("auc"))
+          r6(when(col("n_pos") > 0 && col("n_neg") > 0, num / 2 /
+            (n1 * col("n_neg").cast(Big)).cast("double"))).as("auc"))
         .orderBy(col("fold"))
     }),
 
@@ -238,20 +245,22 @@ object Extras153 {
             tot AS (SELECT
                     CAST(SUM(yh) AS DOUBLE) / COUNT(*) AS all_ppr,
                     CAST(SUM(yh * y) AS DOUBLE)
-                      / (SUM(yh * y) + SUM((1 - yh) * y)) AS all_tpr,
+                      / NULLIF(SUM(yh * y) + SUM((1 - yh) * y), 0)
+                      AS all_tpr,
                     CAST(SUM(yh * (1 - y)) AS DOUBLE)
-                      / (SUM(yh * (1 - y)) + SUM((1 - yh) * (1 - y)))
+                      / NULLIF(SUM(yh * (1 - y)) + SUM((1 - yh) * (1 - y)),
+                               0)
                       AS all_fpr
                   FROM base)
          SELECT grp, CAST(n AS BIGINT) AS n,
                 round(CAST(pp AS DOUBLE) / n, 6) AS pos_rate,
-                round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS tpr,
-                round(CAST(fp AS DOUBLE) / (fp + tn), 6) AS fpr,
+                round(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS tpr,
+                round(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0), 6) AS fpr,
                 round(abs(CAST(pp AS DOUBLE) / n - all_ppr), 6) AS dp_gap,
-                round(abs(CAST(tp AS DOUBLE) / (tp + fn) - all_tpr), 6)
-                  AS tpr_gap,
-                round(abs(CAST(fp AS DOUBLE) / (fp + tn) - all_fpr), 6)
-                  AS fpr_gap
+                round(abs(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)
+                  - all_tpr), 6) AS tpr_gap,
+                round(abs(CAST(fp AS DOUBLE) / NULLIF(fp + tn, 0)
+                  - all_fpr), 6) AS fpr_gap
          FROM g, tot ORDER BY grp""",
 
     "q_ml_cv_auc" ->
@@ -278,8 +287,9 @@ object Extras153 {
                 CAST(n_neg AS BIGINT) AS n_neg,
                 round(CAST(t1 - CAST(n_pos AS DECIMAL(38,0))
                     * CAST(n_pos + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2
-                  / CAST(CAST(n_pos AS DECIMAL(38,0))
-                    * CAST(n_neg AS DECIMAL(38,0)) AS DOUBLE), 6) AS auc
+                  / CAST(NULLIF(CAST(n_pos AS DECIMAL(38,0))
+                    * CAST(n_neg AS DECIMAL(38,0)), 0) AS DOUBLE), 6)
+                  AS auc
          FROM m ORDER BY fold""",
 
     "q_join_positional" ->
