@@ -79,7 +79,16 @@ object FixtureCache {
     "orders_fixedwidth"       -> "q_source_fixedwidth",
     "minhash_sig_store"       -> "q_llm_dedup_incremental",
     "part_csv_newlines"       -> "q_source_csv_newlines",
-    "orders_decimal128"       -> "q_source_decimal128"
+    "orders_decimal128"       -> "q_source_decimal128",
+    // ANN index artifacts (round-13 verdict item 1): build-once
+    // code tables / codebooks / graph edge lists, so graded ANN
+    // queries measure SEARCH against a built index.
+    "ann_pq_codes"            -> "q_llm_ann_pq",
+    "ann_ivfpq_idx"           -> "q_llm_ann_ivfpq",
+    "ann_ivfpq_residual_idx"  -> "q_llm_ann_ivfpq_residual",
+    "ann_ivfpq_lloyd_idx"     -> "q_llm_ann_ivfpq_lloyd",
+    "ann_hnsw_idx"            -> "q_llm_ann_hnsw",
+    "ann_hnsw_ml_idx"         -> "q_llm_ann_hnsw_ml"
   )
 
   private lazy val root: Path = {
