@@ -65,11 +65,24 @@ object Bench {
           s"'${sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "")}', using 3")
         3
       }.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // Round-13 verdict item 8 (bench hygiene for a high-variance
+    // host): keys whose base-sample median exceeds 3 s get 2 extra
+    // samples (5 total at the default 3) — the expensive keys are
+    // exactly where a host-load spike moves the recorded total most,
+    // and a 5-sample median discards two outliers instead of one. The
+    // full per-sample detail (incl. each key's min — the host-band
+    // separator) lands in BENCH_DETAIL as before.
     val samples = SparkEntry.queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var i = 0
-      while (i < samplesN && ok) {
+      var target = samplesN
+      while (i < target && ok) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           // Make failures loud in BOTH channels: stderr for humans, and a
@@ -81,13 +94,10 @@ object Bench {
         }
         times += (System.nanoTime() - t0) / 1e9
         i += 1
+        if (i == samplesN && target == samplesN && ok
+            && median(times.toSeq) > 3.0) target = samplesN + 2
       }
       name -> times.toSeq
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = samples.map { case (k, ts) => k -> median(ts) }
     // Aggregate bands mix only HEALTHY timings: a query that failed on
