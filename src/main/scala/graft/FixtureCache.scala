@@ -87,6 +87,7 @@ object FixtureCache {
     "ann_ivfpq_idx"           -> "q_llm_ann_ivfpq",
     "ann_ivfpq_residual_idx"  -> "q_llm_ann_ivfpq_residual",
     "ann_ivfpq_lloyd_idx"     -> "q_llm_ann_ivfpq_lloyd",
+    "ann_ivfpq_lloyd2_idx"    -> "q_llm_ann_ivfpq_lloyd2",
     "ann_hnsw_idx"            -> "q_llm_ann_hnsw",
     "ann_hnsw_ml_idx"         -> "q_llm_ann_hnsw_ml"
   )

@@ -748,7 +748,15 @@ object ScaleProbe {
       "q_llm_rbo" -> (d => SparkEntry.queries("q_llm_rbo")(spark, d).count()),
       "q_ts_durbin_watson" -> (d => SparkEntry.queries("q_ts_durbin_watson")(spark, d).count()),
       // Round-13 part 13: one orders fold + two calendar lag windows.
-      "q_ts_arma11_hr" -> (d => SparkEntry.queries("q_ts_arma11_hr")(spark, d).count())
+      "q_ts_arma11_hr" -> (d => SparkEntry.queries("q_ts_arma11_hr")(spark, d).count()),
+      // Round-14 part 1: both ride the amortized-index convention —
+      // the 1x/Kx probes include a cold index build on first touch
+      // (FixtureCache-keyed per corpus), then search.
+      "q_llm_ann_ivfpq_lloyd2" -> (d => SparkEntry.queries("q_llm_ann_ivfpq_lloyd2")(spark, d).count()),
+      "q_llm_ann_hnsw_bestfirst" -> (d => SparkEntry.queries("q_llm_ann_hnsw_bestfirst")(spark, d).count()),
+      // Round-14 part 2: the MAN census rides the wedge-bounded base
+      // census + a 16-row broadcast spine.
+      "q_graph_triad_census_man" -> (d => SparkEntry.queries("q_graph_triad_census_man")(spark, d).count())
     )
     println(f"${"probe"}%-22s ${"t_1x"}%8s ${"rows_1x"}%9s ${"t_Kx"}%8s ${"rows_Kx"}%9s ${"ratio"}%6s  (K=$k)")
     probes
@@ -820,7 +828,8 @@ object ScaleProbe {
     // (round-12 verdict item 6: residual recall must be >= non-residual
     // at BOTH 1x and Kx — the whole point of encoding v - centroid).
     val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual",
-        "q_llm_ann_hnsw", "q_llm_ann_ivfpq_lloyd", "q_llm_ann_hnsw_ml")
+        "q_llm_ann_hnsw", "q_llm_ann_ivfpq_lloyd", "q_llm_ann_hnsw_ml",
+        "q_llm_ann_ivfpq_lloyd2", "q_llm_ann_hnsw_bestfirst")
       .filter(kk => only.isEmpty || only(kk))
     if (ivfpqRecallKeys.nonEmpty) {
       def bruteTop10(d: String, qid: Long): Set[Long] = {
