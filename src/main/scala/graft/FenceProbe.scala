@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
+  GreaterThan, If, Literal, RaiseError}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** The generalized >2^53 exact-int→double output fence (round-13
+  * verdict item 6 — the gini/haar lesson made a standing sweep).
+  *
+  * A BIGINT that exceeds 2^53 loses exactness when cast to DOUBLE;
+  * worse, the cross-engine hash contract breaks EARLIER than the cast:
+  * Spark's sum(long) wraps at int64 while DuckDB promotes to HUGEINT,
+  * so any long→double cast whose operand can grow with the corpus is
+  * a latent divergence. This probe rewrites every graded query's
+  * analyzed plan, wrapping EVERY Cast(LongType → DoubleType) — wherever
+  * it sits: project, aggregate result, window — in a magnitude guard
+  * that raises with the query name when |operand| exceeds the
+  * threshold, then executes the full result.
+  *
+  * Two thresholds, two verdicts:
+  *   - 2^53: a hard violation at the probed SF — exactness already
+  *     lost; restructure like haar (emit the scaled exact integer).
+  *   - 2^53/8: a WATCHLIST entry — the value would cross 2^53 at the
+  *     8× probe IF its magnitude scales with corpus volume (sums and
+  *     counts do; epoch-µs timestamps and fixed-grid spines do not),
+  *     so each hit needs a human scaling judgment, recorded in
+  *     BASELINE.md.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.FenceProbe
+  *   /root/testdata/sf0.1 [keys...]" — prints one PASS/WATCH/FAIL
+  *   line per key and a summary.
+  */
+object FenceProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val HARD = 9007199254740992L      // 2^53
+    val WATCH = HARD / 8              // crosses 2^53 at the 8x probe
+
+    // Casts whose operand magnitude is BOUNDED BY CONSTRUCTION —
+    // not corpus-scaling — each with the bound that waives it. A
+    // >2^53 int64→double conversion is the identical round-to-nearest
+    // on both engines; the fence exists for operands that GROW until
+    // int64 overflow diverges the engines, which these cannot do.
+    val waived: Map[String, String] = Map(
+      "q_agg_kmv_theta" -> ("kth-min of 60-bit md5long hashes: " +
+        "fixed < 2^60 at any corpus size"),
+      "q_stream_live_kmv" -> ("same kth-min 60-bit hash estimator, " +
+        "streaming variant"),
+      "q_evt_burstiness" -> ("sum of squared inter-event us gaps: " +
+        "gaps SHRINK as event density grows; epoch-us spans are " +
+        "time-range-bounded, not volume-bounded"))
+
+    var nFail, nWatch, nPass, nErr, nWaived = 0
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
+        if (waived.contains(name)) {
+          nWaived += 1
+          println(s"WAIVE $name (bounded: ${waived(name)})")
+        } else {
+        def runGuarded(threshold: Long): Option[String] =
+          try {
+            val analyzed = fn(spark, sfDir).queryExecution.analyzed
+            var n = 0
+            // bottom-up on both levels: transformUp does NOT re-apply
+            // the rule to the constructed guard, so the Cast kept in
+            // the else-branch is not re-wrapped (a Down transform
+            // loops to StackOverflow on exactly that)
+            val guarded = analyzed.transformUp {
+              case op => op.transformExpressionsUp {
+                case c @ Cast(child, DoubleType, _, _)
+                    if child.dataType == LongType =>
+                  n += 1
+                  val msg = org.apache.spark.sql.catalyst.expressions
+                    .Concat(Seq(Literal(s"FENCE:$name value="),
+                      Cast(child, org.apache.spark.sql.types.StringType),
+                      Literal(s" site=${child.simpleString(60)}")))
+                  If(GreaterThan(Abs(child), Literal(threshold)),
+                    Cast(RaiseError(msg), DoubleType),
+                    c)
+              }
+            }
+            if (n == 0) None
+            else {
+              ColumnBridge.ofRows(spark, guarded).collect()
+              None
+            }
+          } catch {
+            case e: Throwable
+                if Option(e.getMessage).exists(_.contains("FENCE:")) ||
+                  Option(e.getCause).flatMap(c =>
+                    Option(c.getMessage)).exists(_.contains("FENCE:")) =>
+              val m = Option(e.getMessage).filter(_.contains("FENCE:"))
+                .orElse(Option(e.getCause).flatMap(c =>
+                  Option(c.getMessage)))
+                .getOrElse("")
+              System.err.println(
+                s"[fence] $name: ${m.linesIterator.take(1).mkString}")
+              Some("fired")
+            case e: Throwable => Some(s"ERR ${e.getClass.getSimpleName}")
+          }
+        runGuarded(HARD) match {
+          case Some("fired") => nFail += 1; println(s"FAIL  $name (>2^53 at this SF)")
+          case Some(err)     => nErr += 1; println(s"ERROR $name $err")
+          case None =>
+            runGuarded(WATCH) match {
+              case Some("fired") => nWatch += 1; println(s"WATCH $name (>2^53/8 — crosses at 8x if corpus-scaling)")
+              case Some(err)     => nErr += 1; println(s"ERROR $name $err")
+              case None          => nPass += 1
+            }
+        }
+        }
+      }
+    println(s"FENCE SUMMARY pass=$nPass watch=$nWatch fail=$nFail waived=$nWaived err=$nErr sf=$sfDir")
+    spark.stop()
+  }
+}

@@ -98,4 +98,28 @@ object Det {
     * also accepts TIMESTAMP_NTZ columns (parquet ms without the UTC flag,
     * e.g. o_orderdate): with the session pinned UTC it is value-exact. */
   def tsUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Deterministic DOUBLE emission of a NON-NEGATIVE exact integer
+    * column (BIGINT or DECIMAL(38,0), referenced BY NAME) that may
+    * exceed 2^53 — the round-14 generalized gini/haar fence fix.
+    * Splitting into two int64 limbs at 2^30 makes every conversion a
+    * ≤2^53-exact int→double, and the recombination (one multiply, one
+    * add) is the identical IEEE-754 sequence on both engines — unlike
+    * a DECIMAL/HUGEINT→double cast, whose rounding paths diverged by
+    * 1 ulp between the engines at sf0.1 (the original gini lesson).
+    * SQL twin:
+    *   (CAST(CAST(x // 1073741824 AS BIGINT) AS DOUBLE) * 1073741824.0
+    *    + CAST(CAST(x % 1073741824 AS BIGINT) AS DOUBLE))
+    * Caller contract: x >= 0 (div/%/floor agree there) and
+    * x < 2^93 (hi limb stays in int64). */
+  def limbDouble(name: String): Column =
+    expr(s"CAST($name div 1073741824 AS BIGINT)").cast("double") *
+      lit(1073741824.0) +
+      expr(s"CAST($name % 1073741824 AS BIGINT)").cast("double")
+
+  /** The DuckDB twin of [[limbDouble]], for oracle construction. */
+  def limbDoubleSql(x: String): String =
+    s"(CAST(CAST(($x) // 1073741824 AS BIGINT) AS DOUBLE) " +
+      s"* 1073741824.0 + CAST(CAST(($x) % 1073741824 AS BIGINT) " +
+      "AS DOUBLE))"
 }

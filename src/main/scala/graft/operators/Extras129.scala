@@ -107,17 +107,20 @@ object Extras129 {
         .withColumn("mean_micro",
           round(col("tot").cast("double") / lit(280.0) * lit(1e6))
             .cast("long"))
+      // sm accumulates in DECIMAL(38,0) and emits via the two-limb
+      // split (round-14 FenceProbe: Σmean_micro read 7.8e16 > 2^53
+      // at sf0.1, ∝ volume — int64 overflow by ~sf12)
       val big = org.apache.spark.sql.types.DecimalType(38, 0)
       val a = res.agg(count(lit(1)).as("nr"),
-        sum(col("mean_micro")).as("sm"),
+        sum(col("mean_micro").cast(big)).as("sm"),
         sum(col("mean_micro").cast(big) * col("mean_micro").cast(big))
           .as("smm"))
       val nD = col("nr").cast("double")
       val varMicro = (nD * col("smm").cast("double")
-        - col("sm").cast("double") * col("sm").cast("double")) /
+        - limbDouble("sm") * limbDouble("sm")) /
         (nD * (nD - 1))
       a.select(col("nr").as("n_resamples"),
-        r6(col("sm").cast("double") / lit(1e6) / nD / lit(100.0))
+        r6(limbDouble("sm") / lit(1e6) / nD / lit(100.0))
           .as("boot_mean_dollars"),
         r6(sqrt(varMicro) / lit(1e6) / lit(100.0))
           .as("boot_se_dollars"))
@@ -236,18 +239,24 @@ object Extras129 {
                         AS BIGINT) AS mean_micro
                     FROM picks JOIN idx USING (i) GROUP BY 1),
             a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
-                    CAST(SUM(mean_micro) AS BIGINT) AS sm,
+                    CAST(SUM(mean_micro) AS HUGEINT) AS sm,
                     CAST(SUM(CAST(mean_micro AS HUGEINT)
                       * CAST(mean_micro AS HUGEINT)) AS HUGEINT) AS smm
-                  FROM res)
+                  FROM res),
+            lm AS (SELECT nr, smm,
+                     (CAST(CAST(sm // 1073741824 AS BIGINT) AS DOUBLE)
+                        * 1073741824.0
+                      + CAST(CAST(sm % 1073741824 AS BIGINT)
+                        AS DOUBLE)) AS smd
+                   FROM a)
          SELECT nr AS n_resamples,
-                round(CAST(sm AS DOUBLE) / 1e6 / CAST(nr AS DOUBLE)
+                round(smd / 1e6 / CAST(nr AS DOUBLE)
                   / 100.0, 6) AS boot_mean_dollars,
                 round(sqrt((CAST(nr AS DOUBLE) * CAST(smm AS DOUBLE)
-                    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                    - smd * smd)
                   / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1)))
                   / 1e6 / 100.0, 6) AS boot_se_dollars
-         FROM a""",
+         FROM lm""",
 
     "q_agg_ipf_raking" ->
       """WITH grid AS (SELECT substr(o_orderpriority, 1, 1) AS p,

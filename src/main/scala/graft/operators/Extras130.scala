@@ -66,11 +66,14 @@ object Extras130 {
           round((col("a").cast(Big) * col("a").cast(Big)
             + col("b").cast(Big) * col("b").cast(Big)).cast("double")
             / lit(1e12) / lit(64.0) * lit(1e9)).cast("long"))
+      // DECIMAL(38,0)/HUGEINT accumulation + two-limb emission
+      // (round-14 FenceProbe: Σp_nano read 4.3e17 > 2^53 at sf0.1,
+      // ∝ volume² — int64 overflow by ~sf0.5)
       per.groupBy(col("k"))
         .agg(count(lit(1)).as("n_segments"),
-          sum(col("p_nano")).as("sum_nano"))
+          sum(col("p_nano").cast(Big)).as("sum_nano"))
         .select(col("k").as("harmonic"), col("n_segments"),
-          r6(col("sum_nano").cast("double") / lit(1e9)
+          r6(limbDouble("sum_nano") / lit(1e9)
             / col("n_segments").cast("double")).as("welch_psd"))
         .orderBy(col("harmonic"))
     }),
@@ -181,11 +184,17 @@ object Extras130 {
                         + CAST(b AS HUGEINT) * CAST(b AS HUGEINT)
                       AS DOUBLE) / 1e12 / 64.0 * 1e9) AS BIGINT)
                       AS p_nano
-                  FROM per)
-         SELECT k AS harmonic, CAST(COUNT(*) AS BIGINT) AS n_segments,
-                round(CAST(SUM(p_nano) AS DOUBLE) / 1e9
-                  / CAST(COUNT(*) AS DOUBLE), 6) AS welch_psd
-         FROM pw GROUP BY 1 ORDER BY harmonic""",
+                  FROM per),
+            ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                     CAST(SUM(p_nano) AS HUGEINT) AS sum_nano
+                   FROM pw GROUP BY 1)
+         SELECT k AS harmonic, n_segments,
+                round((CAST(CAST(sum_nano // 1073741824 AS BIGINT)
+                    AS DOUBLE) * 1073741824.0
+                  + CAST(CAST(sum_nano % 1073741824 AS BIGINT)
+                    AS DOUBLE)) / 1e9
+                  / CAST(n_segments AS DOUBLE), 6) AS welch_psd
+         FROM ag ORDER BY harmonic""",
 
     "q_ts_median_boot_ci" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,

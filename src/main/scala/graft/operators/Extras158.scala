@@ -134,18 +134,22 @@ object Extras158 {
             - (col("sv").cast("double") - b * col("st").cast("double"))
               / col("n").cast("double")
             - b * col("t").cast("double")).cast("long").as("rq"))
+      // DECIMAL(38,0)/HUGEINT accumulation + two-limb emission
+      // (round-14 FenceProbe: Σrq² read 1.26e16 > 2^53 at sf0.1 and
+      // the residuals scale with volume — int64 overflow by ~sf3)
+      val big = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = Window.orderBy(col("dt"))
       val dw = resid
         .withColumn("pr", lag(col("rq"), 1).over(w))
-        .agg(sum(col("rq") * col("rq")).as("s2"),
+        .agg(sum((col("rq") * col("rq")).cast(big)).as("s2"),
           sum(when(col("pr").isNotNull,
             (col("rq") - col("pr")) * (col("rq") - col("pr")))
-            .otherwise(0L)).as("sd"),
+            .otherwise(0L).cast(big)).as("sd"),
           count(lit(1)).as("n"))
       dw.select(col("n"),
-        r6(col("sd").cast("double") / col("s2").cast("double")).as("dw"),
-        r6(lit(1.0) - col("sd").cast("double")
-          / col("s2").cast("double") / 2).as("rho1"))
+        r6(limbDouble("sd") / limbDouble("s2")).as("dw"),
+        r6(lit(1.0) - limbDouble("sd") / limbDouble("s2") / 2)
+          .as("rho1"))
     })
   )
 
@@ -253,14 +257,25 @@ object Extras158 {
                        - bb.b * CAST(tz.t AS DOUBLE)) AS BIGINT) AS rq
                    FROM tz, bb),
             lagd AS (SELECT rq, lag(rq) OVER (ORDER BY dt) AS pr
-                     FROM resid)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                round(CAST(SUM(CASE WHEN pr IS NOT NULL
-                    THEN (rq - pr) * (rq - pr) ELSE 0 END) AS DOUBLE)
-                  / CAST(SUM(rq * rq) AS DOUBLE), 6) AS dw,
-                round(1.0 - CAST(SUM(CASE WHEN pr IS NOT NULL
-                    THEN (rq - pr) * (rq - pr) ELSE 0 END) AS DOUBLE)
-                  / CAST(SUM(rq * rq) AS DOUBLE) / 2, 6) AS rho1
-         FROM lagd"""
+                     FROM resid),
+            ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN pr IS NOT NULL
+                       THEN (rq - pr) * (rq - pr) ELSE 0 END)
+                       AS HUGEINT) AS sd,
+                     CAST(SUM(rq * rq) AS HUGEINT) AS s2
+                   FROM lagd),
+            lm AS (SELECT n,
+                     (CAST(CAST(sd // 1073741824 AS BIGINT) AS DOUBLE)
+                        * 1073741824.0
+                      + CAST(CAST(sd % 1073741824 AS BIGINT)
+                        AS DOUBLE)) AS sdd,
+                     (CAST(CAST(s2 // 1073741824 AS BIGINT) AS DOUBLE)
+                        * 1073741824.0
+                      + CAST(CAST(s2 % 1073741824 AS BIGINT)
+                        AS DOUBLE)) AS s2d
+                   FROM ag)
+         SELECT n, round(sdd / s2d, 6) AS dw,
+                round(1.0 - sdd / s2d / 2, 6) AS rho1
+         FROM lm"""
   )
 }

@@ -47,10 +47,14 @@ object Extras16 {
     // inequality/concentration audit (is 1% of customers 90% of
     // revenue?). Sorted-rank formula G = Σ(2i−n−1)·x / (n·Σx): one
     // row_number window + one hash aggregate. Money moves as exact
-    // int64 CENT-UNITS end to end (a DECIMAL numerator near 2^53 cast
-    // to double diverged by 1 ulp between the engines' decimal→double
-    // paths at sf0.1; int64→double is a single correctly-rounded IEEE
-    // conversion both agree on), and G is ONE shared division. Rank
+    // int64 CENT-UNITS per row; the rank-sum Σi·x accumulates in
+    // DECIMAL(38,0)/HUGEINT (∝ n²·x̄ — the round-14 FenceProbe read
+    // n·Σx = 2.27e16 > 2^53 at sf0.1 with int64 overflow at ~sf2, so
+    // the r13-era all-int64 form was a measured scale cliff), the
+    // numerator emits through the two-limb split (Det.limbDouble —
+    // a DECIMAL→double cast diverged by 1 ulp between the engines at
+    // sf0.1, the original lesson), and the denominator is the IEEE
+    // product of the two individually-≤2^53 factors n and Σx. Rank
     // ties don't matter: permuting equal x within a tie block leaves
     // Σ(i·x) unchanged, but the (x, key) tiebreak is pinned anyway.
     "q_agg_gini" -> ((s, d) => {
@@ -63,12 +67,18 @@ object Extras16 {
         .withColumn("i", row_number().over(w).cast("long"))
         .groupBy(col("pri"))
         .agg(count(lit(1)).as("n"),
-          sum(col("xu")).as("sxu"), sum(col("i") * col("xu")).as("sixu"))
+          sum(col("xu")).as("sxu"),
+          sum((col("i") * col("xu"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sixu"))
+        .withColumn("gnum",
+          expr("CAST(2 AS DECIMAL(38,0)) * sixu" +
+            " - CAST(n + 1 AS DECIMAL(38,0)) * sxu"))
         .select(col("pri"), col("n"),
           (col("sxu").cast("double") / lit(100.0)).as("sum_price"),
-          ((lit(2L) * col("sixu") - (col("n") + 1) * col("sxu"))
-            .cast("double")
-            / (col("n") * col("sxu")).cast("double")).as("gini"))
+          (limbDouble("gnum")
+            / (col("n").cast("double") * col("sxu").cast("double")))
+            .as("gini"))
         .orderBy("pri")
     }),
 
@@ -219,12 +229,17 @@ object Extras16 {
                     FROM orders),
             g AS (SELECT pri, COUNT(*) AS n,
                          CAST(SUM(xu) AS BIGINT) AS sxu,
-                         CAST(SUM(i * xu) AS BIGINT) AS sixu
-                  FROM r GROUP BY pri)
+                         CAST(SUM(i * xu) AS HUGEINT) AS sixu
+                  FROM r GROUP BY pri),
+            g2 AS (SELECT pri, n, sxu,
+                     2 * sixu - CAST(n + 1 AS HUGEINT) * sxu AS gnum
+                   FROM g)
          SELECT pri, n, CAST(sxu AS DOUBLE) / 100.0 AS sum_price,
-                CAST(2 * sixu - (n + 1) * sxu AS DOUBLE)
-                / CAST(n * sxu AS DOUBLE) AS gini
-         FROM g ORDER BY pri""",
+                (CAST(CAST(gnum // 1073741824 AS BIGINT) AS DOUBLE)
+                   * 1073741824.0
+                 + CAST(CAST(gnum % 1073741824 AS BIGINT) AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE)) AS gini
+         FROM g2 ORDER BY pri""",
 
     "q_ts_interval_merge" ->
       """WITH b AS (SELECT user_id, event_id,

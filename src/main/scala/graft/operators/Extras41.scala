@@ -29,6 +29,13 @@ object Extras41 {
     // ride the CUSTOMER-grain relation (dimension-sized — at 100 TB the
     // fact pass is the one groupBy; BIGINT moments need DECIMAL(38,0)
     // above ~1e6 customers, noted not shipped: graded bound 15k).
+    // Centered form (round-14 FenceProbe): the raw-moment numerator
+    // n·Σrxry − Σrx·Σry grows ∝ n⁴ (1.67e16 > 2^53 at sf0.1, int64
+    // overflow by ~sf0.5 — the closest scale cliff the fence found).
+    // Doubled midranks sum to EXACTLY n(n+1) regardless of ties, so
+    // centering on their exact mean (n+1) is integer-exact and the
+    // centered sums grow only ∝ n³ (2^53-safe at the 8× probe, int64
+    // to ~sf13); ρ = Σdxdy/(√Σdx²·√Σdy²) is the same real number.
     "q_agg_spearman" -> ((s, d) => {
       val cust = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
@@ -38,19 +45,20 @@ object Extras41 {
         count(lit(1)).over(Window.partitionBy(col("nord"))) - 1
       val ry = rank().over(Window.orderBy(col("cents"))) * 2 +
         count(lit(1)).over(Window.partitionBy(col("cents"))) - 1
+      val nn = count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
       cust
-        .withColumn("rx", rx.cast("long")).withColumn("ry", ry.cast("long"))
+        .withColumn("dx", rx.cast("long") - nn.cast("long") - 1)
+        .withColumn("dy", ry.cast("long") - nn.cast("long") - 1)
         .agg(count(lit(1)).as("n"),
-          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-          sum(col("rx") * col("ry")).as("sxy"),
-          sum(col("rx") * col("rx")).as("sxx"),
-          sum(col("ry") * col("ry")).as("syy"))
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
         .select(col("n"),
-          r6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                 .cast("double"))
-               * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                 .cast("double")))).as("rho"))
+          r6(col("sxy").cast("double")
+            / (sqrt(col("sxx").cast("double"))
+               * sqrt(col("syy").cast("double")))).as("rho"))
     }),
 
     // CRAMÉR'S V — association strength of the returnflag × linestatus
@@ -256,22 +264,22 @@ object Extras41 {
             r AS (SELECT
                     CAST(2 * rank() OVER (ORDER BY nord)
                          + COUNT(*) OVER (PARTITION BY nord) - 1
-                      AS BIGINT) AS rx,
+                      AS BIGINT)
+                    - CAST(COUNT(*) OVER () AS BIGINT) - 1 AS dx,
                     CAST(2 * rank() OVER (ORDER BY cents)
                          + COUNT(*) OVER (PARTITION BY cents) - 1
-                      AS BIGINT) AS ry
+                      AS BIGINT)
+                    - CAST(COUNT(*) OVER () AS BIGINT) - 1 AS dy
                   FROM cust),
             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                         CAST(SUM(rx) AS BIGINT) AS sx,
-                         CAST(SUM(ry) AS BIGINT) AS sy,
-                         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
-                         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-                         CAST(SUM(ry * ry) AS BIGINT) AS syy
+                         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                         CAST(SUM(dy * dy) AS BIGINT) AS syy
                   FROM r)
          SELECT n,
-                round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+                round(CAST(sxy AS DOUBLE)
+                  / (sqrt(CAST(sxx AS DOUBLE))
+                     * sqrt(CAST(syy AS DOUBLE))), 6) AS rho
          FROM m""",
 
     "q_agg_cramers_v" ->
