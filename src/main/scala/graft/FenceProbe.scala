@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   GreaterThan, If, Literal, RaiseError}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  StringType}
 
 /** The generalized >2^53 exact-int→double output fence (round-13
   * verdict item 6 — the gini/haar lesson made a standing sweep).
@@ -14,10 +15,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Spark's sum(long) wraps at int64 while DuckDB promotes to HUGEINT,
   * so any long→double cast whose operand can grow with the corpus is
   * a latent divergence. This probe rewrites every graded query's
-  * analyzed plan, wrapping EVERY Cast(LongType → DoubleType) — wherever
-  * it sits: project, aggregate result, window — in a magnitude guard
-  * that raises with the query name when |operand| exceeds the
-  * threshold, then executes the full result.
+  * analyzed plan, wrapping EVERY Cast(LongType → DoubleType) AND every
+  * Cast(DecimalType → DoubleType) — wherever it sits: project,
+  * aggregate result, window — in a magnitude guard that raises with
+  * the query name when |operand| exceeds the threshold, then executes
+  * the full result. The decimal class (round-14 verdict item 6): the
+  * fence restructures moved corpus²-scale accumulation onto
+  * DECIMAL(38,0), whose ONLY divergence-free >2^53 double emission is
+  * Det.limbDouble (two-limb split) — a future key casting a huge
+  * decimal straight to double would reintroduce the 1-ulp
+  * Spark-vs-DuckDB rounding divergence, so those sites trip the same
+  * guard.
   *
   * Two thresholds, two verdicts:
   *   - 2^53: a hard violation at the probed SF — exactness already
@@ -27,6 +35,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     counts do; epoch-µs timestamps and fixed-grid spines do not),
   *     so each hit needs a human scaling judgment, recorded in
   *     BASELINE.md.
+  *
+  * Sweep cost (round-14 ADVICE): each key runs ONCE under the WATCH
+  * guard; the fired value is parsed from the raise message and
+  * classified HARD vs WATCH by magnitude. Only fired keys whose
+  * reported value sits below HARD re-run under the HARD guard (a
+  * deeper site could still exceed it) — so the common all-pass path
+  * costs one execution per key instead of two.
   *
   * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.FenceProbe
   *   /root/testdata/sf0.1 [keys...]" — prints one PASS/WATCH/FAIL
@@ -71,7 +86,15 @@ object FenceProbe {
           nWaived += 1
           println(s"WAIVE $name (bounded: ${waived(name)})")
         } else {
-        def runGuarded(threshold: Long): Option[String] =
+        // Fired(value) carries the |operand| parsed from the raise
+        // message so one WATCH-guard execution classifies HARD vs
+        // WATCH (round-14 ADVICE: don't execute every passing key
+        // twice).
+        sealed trait Outcome
+        case object Clean extends Outcome
+        case class Fired(value: BigDecimal) extends Outcome
+        case class Err(msg: String) extends Outcome
+        def runGuarded(threshold: Long): Outcome =
           try {
             val analyzed = fn(spark, sfDir).queryExecution.analyzed
             var n = 0
@@ -82,21 +105,32 @@ object FenceProbe {
             val guarded = analyzed.transformUp {
               case op => op.transformExpressionsUp {
                 case c @ Cast(child, DoubleType, _, _)
-                    if child.dataType == LongType =>
+                    if child.dataType == LongType ||
+                      child.dataType.isInstanceOf[DecimalType] =>
                   n += 1
                   val msg = org.apache.spark.sql.catalyst.expressions
                     .Concat(Seq(Literal(s"FENCE:$name value="),
-                      Cast(child, org.apache.spark.sql.types.StringType),
+                      Cast(child, StringType),
                       Literal(s" site=${child.simpleString(60)}")))
-                  If(GreaterThan(Abs(child), Literal(threshold)),
+                  // the magnitude test compares in the child's OWN type
+                  // (long vs long literal; decimal vs decimal literal —
+                  // sized to hold 2^53 next to any scale) so the guard
+                  // itself never rounds
+                  val lim: Expression = child.dataType match {
+                    case LongType => Literal(threshold)
+                    case d: DecimalType =>
+                      Cast(Literal(threshold),
+                        DecimalType(math.min(38, d.scale + 17), d.scale))
+                  }
+                  If(GreaterThan(Abs(child), lim),
                     Cast(RaiseError(msg), DoubleType),
                     c)
               }
             }
-            if (n == 0) None
+            if (n == 0) Clean
             else {
               ColumnBridge.ofRows(spark, guarded).collect()
-              None
+              Clean
             }
           } catch {
             case e: Throwable
@@ -109,17 +143,28 @@ object FenceProbe {
                 .getOrElse("")
               System.err.println(
                 s"[fence] $name: ${m.linesIterator.take(1).mkString}")
-              Some("fired")
-            case e: Throwable => Some(s"ERR ${e.getClass.getSimpleName}")
+              val v = "value=(-?[0-9.]+)".r.findFirstMatchIn(m)
+                .flatMap(g => scala.util.Try(BigDecimal(g.group(1))).toOption)
+                .getOrElse(BigDecimal(Long.MaxValue)) // unparseable → worst case
+              Fired(v.abs)
+            case e: Throwable => Err(s"ERR ${e.getClass.getSimpleName}")
           }
-        runGuarded(HARD) match {
-          case Some("fired") => nFail += 1; println(s"FAIL  $name (>2^53 at this SF)")
-          case Some(err)     => nErr += 1; println(s"ERROR $name $err")
-          case None =>
-            runGuarded(WATCH) match {
-              case Some("fired") => nWatch += 1; println(s"WATCH $name (>2^53/8 — crosses at 8x if corpus-scaling)")
-              case Some(err)     => nErr += 1; println(s"ERROR $name $err")
-              case None          => nPass += 1
+        runGuarded(WATCH) match {
+          case Clean    => nPass += 1
+          case Err(err) => nErr += 1; println(s"ERROR $name $err")
+          case Fired(v) if v > BigDecimal(HARD) =>
+            nFail += 1; println(s"FAIL  $name (>2^53 at this SF, value=$v)")
+          case Fired(v) =>
+            // the first-firing site was only WATCH-level; a deeper site
+            // could still exceed HARD — re-run with the HARD guard
+            // (fired keys only, so the sweep stays ~1 execution/key)
+            runGuarded(HARD) match {
+              case Fired(v2) =>
+                nFail += 1; println(s"FAIL  $name (>2^53 at this SF, value=$v2)")
+              case Err(err)  => nErr += 1; println(s"ERROR $name $err")
+              case Clean =>
+                nWatch += 1
+                println(s"WATCH $name (>2^53/8 — crosses at 8x if corpus-scaling, value=$v)")
             }
         }
         }

@@ -70,7 +70,15 @@ object PlanDump {
     "q_llm_ann_ivfpq_lloyd" -> "trained residual IVF-PQ: one exact Lloyd update (packed E-step encode, positive-shifted floor-mean M-step), rsub packed once and reused by both encodes, trained book broadcast to ADC",
     "q_llm_ann_hnsw_ml" -> "multi-level HNSW: stride-256 L2 exact entry (corpus/256 scan), 3 greedy ef=1 hops on the L1 graph (4-row driver state), then the 4-round beam-16 layer-0 search",
     "q_graph_triad_census" -> "triad census (Batagelj-Mrvar): wedge-connected triples only (Σdeg² on support dyads), three broadcast dyad-flag joins, one-dyad classes arithmetic — never |D|·n",
-    "q_graph_bowtie" -> "bow-tie census: path-doubling closure to count fixpoint, giant SCC by max(struct), in/out regions via anti-joined reachability projections"
+    "q_graph_bowtie" -> "bow-tie census: path-doubling closure to count fixpoint, giant SCC by max(struct), in/out regions via anti-joined reachability projections",
+    "q_llm_ann_ivfpq_lloyd2" -> "2-step-Lloyd residual IVF-PQ: two exact E/M rounds over the checkpointed packed residuals, monotone-MSE trained book broadcast to the cell-pruned ADC scan, corpus-proportional rerank shortlist",
+    "q_llm_ann_hnsw_bestfirst" -> "best-first HNSW (paper parity): ≤16 sequential 1-expansion rounds, each a ≤1-row/query driver read re-entering as a literal broadcast over the persisted edge list — the sequential study next to the batched beam",
+    "q_graph_triad_census_man" -> "MAN triad census: 16 Holland-Leinhardt classes from the same Σdeg²-bounded wedge relation, code→class mapping is pure integer arithmetic on broadcast dyad flags",
+    "q_stream_live_semi" -> "stream-stream left-semi: two watermarked file streams, time-interval semi join, per-side watermark decided-region cutoffs — existence only, no right-side columns materialize",
+    "q_agg_gini" -> "Gini (post-fence): n² rank-sums on DECIMAL(38,0) accumulators, two-limb int→double emission only at the final ratio — one value-ordered window pass, one HashAggregate",
+    "q_ts_welch" -> "Welch t (post-fence): vol²-scale nano-sums carried in DECIMAL(38,0), partial+final HashAggregate, IEEE only in the final statistic via limbDouble",
+    "q_ts_durbin_watson" -> "Durbin-Watson (post-fence): residual² sums on DECIMAL(38,0) over the calendar-spine ordering, single window pass for the lag-1 diff",
+    "q_ts_block_bootstrap" -> "block bootstrap (post-fence): per-block micro-mean sums on DECIMAL(38,0) accumulation, block spine broadcast, two-limb emission at the CI tails"
   )
 
   def main(args: Array[String]): Unit = {
@@ -83,22 +91,37 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Round-14 verdict item 2: PLANS.md covers the FULL surface, not
+    // just the curated headliners — every key's final AQE-resolved plan,
+    // annotated with the scale rationale where one is curated above.
+    // Sorted key order so a regeneration diffs cleanly against the last.
+    val whys = headline.toMap
+    val keys = SparkEntry.queries.keys.toSeq.sorted
     val sb = new StringBuilder
-    sb.append("# PLANS — final physical plans of the headline queries\n\n")
+    sb.append("# PLANS — final physical plans of every graded query\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` on " + sf + ".\n")
+    sb.append(s"All ${keys.size} keys; ${headline.size} carry curated scale annotations.\n")
     sb.append("Each plan is executed first so AQE has resolved its final shape —\n")
     sb.append("what you see is what runs. Review checklist per SURVEY §7.4:\n")
     sb.append("pushed filters, pruned schemas, broadcast dims, partial aggs,\n")
     sb.append("no CartesianProduct, codegen stars on hot projections.\n")
-    headline.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      df.collect() // finalize AQE
-      sb.append(s"\n## $name\n\n_${why}_\n\n```\n")
-      sb.append(df.queryExecution.explainString(FormattedMode).trim)
-      sb.append("\n```\n")
+    var nFailed = 0
+    keys.foreach { name =>
+      val why = whys.get(name).map(w => s"\n_${w}_\n").getOrElse("")
+      try {
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect() // finalize AQE
+        sb.append(s"\n## $name\n$why\n```\n")
+        sb.append(df.queryExecution.explainString(FormattedMode).trim)
+        sb.append("\n```\n")
+      } catch { case e: Throwable =>
+        nFailed += 1
+        sb.append(s"\n## $name\n$why\nPLAN DUMP FAILED: ${e.getMessage}\n")
+        System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"PLANS.md written (${headline.size} plans)")
+    println(s"PLANS.md written (${keys.size} plans, $nFailed failed)")
     spark.stop()
   }
 }

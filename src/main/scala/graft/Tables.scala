@@ -122,4 +122,27 @@ object Det {
     s"(CAST(CAST(($x) // 1073741824 AS BIGINT) AS DOUBLE) " +
       s"* 1073741824.0 + CAST(CAST(($x) % 1073741824 AS BIGINT) " +
       "AS DOUBLE))"
+
+  /** Three-limb variant of [[limbDouble]] for magnitudes past its
+    * 2^93 horizon (round-15: block_bootstrap's Σdev² reads ~1e26 at
+    * sf0.01 and grows ∝ volume²). Limbs split at 2^60 and 2^30: every
+    * limb is an exact ≤2^63 BIGINT whose int64→double conversion is
+    * the same correctly-rounded operation on both engines, and the
+    * recombination (two multiplies, two adds, both powers of two) is
+    * one shared IEEE tree. Caller contract: x >= 0 and
+    * x < 2^123 (≈1.06e37 — effectively the DECIMAL(38,0) range). */
+  def limbDouble3(name: String): Column =
+    expr(s"CAST($name div 1152921504606846976 AS BIGINT)").cast("double") *
+      lit(1.152921504606846976e18) +
+      expr(s"CAST(($name % 1152921504606846976) div 1073741824 AS BIGINT)")
+        .cast("double") * lit(1073741824.0) +
+      expr(s"CAST($name % 1073741824 AS BIGINT)").cast("double")
+
+  /** The DuckDB twin of [[limbDouble3]]. */
+  def limbDouble3Sql(x: String): String =
+    s"(CAST(CAST(($x) // 1152921504606846976 AS BIGINT) AS DOUBLE) " +
+      "* 1152921504606846976.0 " +
+      s"+ CAST(CAST((($x) % 1152921504606846976) // 1073741824 AS BIGINT) " +
+      "AS DOUBLE) * 1073741824.0 " +
+      s"+ CAST(CAST(($x) % 1073741824 AS BIGINT) AS DOUBLE))"
 }

@@ -109,17 +109,30 @@ object Extras129 {
             .cast("long"))
       // sm accumulates in DECIMAL(38,0) and emits via the two-limb
       // split (round-14 FenceProbe: Σmean_micro read 7.8e16 > 2^53
-      // at sf0.1, ∝ volume — int64 overflow by ~sf12)
+      // at sf0.1, ∝ volume — int64 overflow by ~sf12). The variance
+      // is CENTERED (round-15 decimal fence): the raw second moment
+      // Σx² read 1.2e30 at sf0.01 — past even the two-limb 2^93
+      // horizon, and n·Σx²−(Σx)² cancels catastrophically anyway.
+      // Deviations from m = sm div nr square to ~1e26 (∝ volume²),
+      // accumulate exactly in DECIMAL(38,0) to ~sf300, and emit via
+      // the three-limb split; the centering remainder rem = sm−nr·m
+      // is ≤ nr, so its exact-double correction rem²/nr costs nothing.
       val big = org.apache.spark.sql.types.DecimalType(38, 0)
       val a = res.agg(count(lit(1)).as("nr"),
-        sum(col("mean_micro").cast(big)).as("sm"),
-        sum(col("mean_micro").cast(big) * col("mean_micro").cast(big))
-          .as("smm"))
+        sum(col("mean_micro").cast(big)).as("sm"))
+        .withColumn("m", expr("CAST(sm div nr AS BIGINT)"))
+        .withColumn("rem", expr("CAST(sm - CAST(nr AS DECIMAL(38,0))" +
+          " * CAST(m AS DECIMAL(38,0)) AS BIGINT)"))
+      val sdd = res.crossJoin(broadcast(a.select(col("m"))))
+        .select(((col("mean_micro") - col("m")).cast(big) *
+          (col("mean_micro") - col("m")).cast(big)).as("d2"))
+        .agg(sum(col("d2")).as("sdd"))
       val nD = col("nr").cast("double")
-      val varMicro = (nD * col("smm").cast("double")
-        - limbDouble("sm") * limbDouble("sm")) /
-        (nD * (nD - 1))
-      a.select(col("nr").as("n_resamples"),
+      // Σ(x−x̄)² = Σ(x−m)² − rem²/n, every term from an exact-int path
+      val varMicro = (limbDouble3("sdd")
+        - col("rem").cast("double") * col("rem").cast("double") / nD) /
+        (nD - 1)
+      a.crossJoin(sdd).select(col("nr").as("n_resamples"),
         r6(limbDouble("sm") / lit(1e6) / nD / lit(100.0))
           .as("boot_mean_dollars"),
         r6(sqrt(varMicro) / lit(1e6) / lit(100.0))
@@ -239,22 +252,36 @@ object Extras129 {
                         AS BIGINT) AS mean_micro
                     FROM picks JOIN idx USING (i) GROUP BY 1),
             a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
-                    CAST(SUM(mean_micro) AS HUGEINT) AS sm,
-                    CAST(SUM(CAST(mean_micro AS HUGEINT)
-                      * CAST(mean_micro AS HUGEINT)) AS HUGEINT) AS smm
+                    CAST(SUM(mean_micro) AS HUGEINT) AS sm
                   FROM res),
-            lm AS (SELECT nr, smm,
+            am AS (SELECT nr, sm,
+                     CAST(sm // nr AS BIGINT) AS m,
+                     CAST(sm - CAST(nr AS HUGEINT)
+                       * (sm // nr) AS BIGINT) AS rem
+                   FROM a),
+            sd AS (SELECT CAST(SUM(CAST(mean_micro - m AS HUGEINT)
+                       * CAST(mean_micro - m AS HUGEINT)) AS HUGEINT)
+                     AS sdd
+                   FROM res, am),
+            lm AS (SELECT nr, rem, sdd,
                      (CAST(CAST(sm // 1073741824 AS BIGINT) AS DOUBLE)
                         * 1073741824.0
                       + CAST(CAST(sm % 1073741824 AS BIGINT)
-                        AS DOUBLE)) AS smd
-                   FROM a)
+                        AS DOUBLE)) AS smd,
+                     (CAST(CAST(sdd // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0
+                      + CAST(CAST((sdd % 1152921504606846976)
+                          // 1073741824 AS BIGINT) AS DOUBLE)
+                        * 1073741824.0
+                      + CAST(CAST(sdd % 1073741824 AS BIGINT)
+                        AS DOUBLE)) AS sddd
+                   FROM am, sd)
          SELECT nr AS n_resamples,
                 round(smd / 1e6 / CAST(nr AS DOUBLE)
                   / 100.0, 6) AS boot_mean_dollars,
-                round(sqrt((CAST(nr AS DOUBLE) * CAST(smm AS DOUBLE)
-                    - smd * smd)
-                  / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1)))
+                round(sqrt((sddd - CAST(rem AS DOUBLE)
+                    * CAST(rem AS DOUBLE) / CAST(nr AS DOUBLE))
+                  / (CAST(nr AS DOUBLE) - 1))
                   / 1e6 / 100.0, 6) AS boot_se_dollars
          FROM lm""",
 

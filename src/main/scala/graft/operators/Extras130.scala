@@ -62,9 +62,15 @@ object Extras130 {
         .groupBy(col("sg"), col("k"))
         .agg(sum(col("y") * col("c")).as("a"),
           sum(col("y") * col("s2")).as("b"))
+        // a²+b² reads 1.7e18 at sf0.01 (∝ volume²) — already past
+        // 2^53, so its double emission must be the two-limb split,
+        // not a direct DECIMAL→DOUBLE cast (the round-15 decimal
+        // FenceProbe class; limbDouble is divergence-free to 2^93,
+        // horizon ~sf700 here)
+        .withColumn("ss", col("a").cast(Big) * col("a").cast(Big)
+          + col("b").cast(Big) * col("b").cast(Big))
         .withColumn("p_nano",
-          round((col("a").cast(Big) * col("a").cast(Big)
-            + col("b").cast(Big) * col("b").cast(Big)).cast("double")
+          round(limbDouble("ss")
             / lit(1e12) / lit(64.0) * lit(1e9)).cast("long"))
       // DECIMAL(38,0)/HUGEINT accumulation + two-limb emission
       // (round-14 FenceProbe: Σp_nano read 4.3e17 > 2^53 at sf0.1,
@@ -178,13 +184,19 @@ object Extras130 {
                       * CAST(k AS DOUBLE) * CAST(j AS DOUBLE) / 64.0)
                       * 1e6) AS BIGINT)) AS BIGINT) AS b
                   FROM member GROUP BY 1, 2),
-            pw AS (SELECT sg, k,
-                    CAST(round(CAST(CAST(a AS HUGEINT)
-                        * CAST(a AS HUGEINT)
-                        + CAST(b AS HUGEINT) * CAST(b AS HUGEINT)
-                      AS DOUBLE) / 1e12 / 64.0 * 1e9) AS BIGINT)
-                      AS p_nano
+            pss AS (SELECT sg, k,
+                    CAST(a AS HUGEINT) * CAST(a AS HUGEINT)
+                      + CAST(b AS HUGEINT) * CAST(b AS HUGEINT) AS ss
                   FROM per),
+            pw AS (SELECT sg, k,
+                    CAST(round(
+                      (CAST(CAST(ss // 1073741824 AS BIGINT) AS DOUBLE)
+                         * 1073741824.0
+                       + CAST(CAST(ss % 1073741824 AS BIGINT)
+                         AS DOUBLE))
+                      / 1e12 / 64.0 * 1e9) AS BIGINT)
+                      AS p_nano
+                  FROM pss),
             ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_segments,
                      CAST(SUM(p_nano) AS HUGEINT) AS sum_nano
                    FROM pw GROUP BY 1)

@@ -141,10 +141,15 @@ object Extras158 {
       val w = Window.orderBy(col("dt"))
       val dw = resid
         .withColumn("pr", lag(col("rq"), 1).over(w))
-        .agg(sum((col("rq") * col("rq")).cast(big)).as("s2"),
+        // one operand cast to DECIMAL(38,0) BEFORE the multiply
+        // (round-14 ADVICE): the per-row product itself can outgrow
+        // int64 where Spark wraps silently but DuckDB raises — the
+        // decimal multiply makes the whole path wrap-free, not just
+        // the accumulation
+        .agg(sum(col("rq").cast(big) * col("rq")).as("s2"),
           sum(when(col("pr").isNotNull,
-            (col("rq") - col("pr")) * (col("rq") - col("pr")))
-            .otherwise(0L).cast(big)).as("sd"),
+            (col("rq") - col("pr")).cast(big) * (col("rq") - col("pr")))
+            .otherwise(lit(0L).cast(big))).as("sd"),
           count(lit(1)).as("n"))
       dw.select(col("n"),
         r6(limbDouble("sd") / limbDouble("s2")).as("dw"),

@@ -68,8 +68,11 @@ object Extras16 {
         .groupBy(col("pri"))
         .agg(count(lit(1)).as("n"),
           sum(col("xu")).as("sxu"),
-          sum((col("i") * col("xu"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          // i cast to DECIMAL(38,0) BEFORE the multiply (round-14
+          // ADVICE): rank×cents can outgrow int64 per ROW at large
+          // corpus, where Spark wraps silently but DuckDB raises
+          sum(col("i").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("xu"))
             .as("sixu"))
         .withColumn("gnum",
           expr("CAST(2 AS DECIMAL(38,0)) * sixu" +

@@ -102,8 +102,13 @@ object StreamOps {
     val prevPart = conf.get(partKey)
     val prevProv = conf.getOption(provKey)
     conf.set(partKey, math.min(prevPart.toInt, 8).toString)
-    conf.set(provKey, sys.props.getOrElse("graft.stateStoreProvider",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    // Provider override order: sysprop (in-JVM tests) > env (the sbt
+    // `run` task forks, so a probe A/B — RocksDB vs HDFSBacked — is
+    // driven by SPARK_GRAFT_STATESTORE) > RocksDB default.
+    conf.set(provKey, sys.props.get("graft.stateStoreProvider")
+      .orElse(sys.env.get("SPARK_GRAFT_STATESTORE"))
+      .getOrElse(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
     try f finally {
       conf.set(partKey, prevPart)
       prevProv match {
@@ -121,6 +126,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress(q, name)
     df.sparkSession.table(name)
   }
 
@@ -132,6 +138,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress(q, name)
     df.sparkSession.table(name)
   }
 
@@ -165,8 +172,24 @@ object StreamOps {
           s"rows=${p.numInputRows} triggerMs=${d.get("triggerExecution")} " +
           s"addBatchMs=${d.get("addBatch")} " +
           s"stateRows=${p.stateOperators.map(_.numRowsTotal).sum} " +
-          s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).sum}")
+          s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).sum} " +
+          s"stateBytes=${p.stateOperators.map(_.memoryUsedBytes).sum}")
       }
+      // Working-set summary line (round-14 verdict item 5): ONE
+      // machine-readable row per run so the bench-sequence state
+      // accumulation question — does key N's RocksDB working set tax
+      // key N+1? — is answered by per-key columns, not guesses.
+      val last = ps.lastOption
+      val commitTotal = ps.map(_.stateOperators.map(_.commitTimeMs).sum).sum
+      val trigTotal = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)).sum
+      println(s"[state-probe] key=$name batches=${ps.length} " +
+        s"triggerMsTotal=$trigTotal commitMsTotal=$commitTotal " +
+        s"finalStateRows=${last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)} " +
+        s"finalStateBytes=${last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)} " +
+        s"provider=${q.sparkSession.conf.get(
+          "spark.sql.streaming.stateStore.providerClass", "default")
+          .split('.').last}")
     }
 
   /** Tumbling 1h counts per event type (same logic as q_stream_tumbling). */
