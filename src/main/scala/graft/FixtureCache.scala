@@ -89,7 +89,8 @@ object FixtureCache {
     "ann_ivfpq_lloyd_idx"     -> "q_llm_ann_ivfpq_lloyd",
     "ann_ivfpq_lloyd2_idx"    -> "q_llm_ann_ivfpq_lloyd2",
     "ann_hnsw_idx"            -> "q_llm_ann_hnsw",
-    "ann_hnsw_ml_idx"         -> "q_llm_ann_hnsw_ml"
+    "ann_hnsw_ml_idx"         -> "q_llm_ann_hnsw_ml",
+    "ann_hnsw_div_idx"        -> "q_llm_ann_hnsw_div"
   )
 
   private lazy val root: Path = {

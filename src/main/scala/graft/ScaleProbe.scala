@@ -829,7 +829,8 @@ object ScaleProbe {
     // at BOTH 1x and Kx — the whole point of encoding v - centroid).
     val ivfpqRecallKeys = Seq("q_llm_ann_ivfpq", "q_llm_ann_ivfpq_residual",
         "q_llm_ann_hnsw", "q_llm_ann_ivfpq_lloyd", "q_llm_ann_hnsw_ml",
-        "q_llm_ann_ivfpq_lloyd2", "q_llm_ann_hnsw_bestfirst")
+        "q_llm_ann_ivfpq_lloyd2", "q_llm_ann_hnsw_bestfirst",
+        "q_llm_ann_hnsw_div")
       .filter(kk => only.isEmpty || only(kk))
     if (ivfpqRecallKeys.nonEmpty) {
       def bruteTop10(d: String, qid: Long): Set[Long] = {
@@ -861,6 +862,27 @@ object ScaleProbe {
         val r1 = recall(key, sf)
         val rk = recall(key, out)
         println(f"recall $key%-25s 1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
+      }
+      // best-first over the DIVERSIFIED graph (round-14 verdict item
+      // 4's A/B: both search algorithms on both graphs) — not a graded
+      // key, measured through the shared search helper directly
+      if (ivfpqRecallKeys.contains("q_llm_ann_hnsw_div")) {
+        def bfDivTop10(d: String): Map[Long, Set[Long]] =
+          operators.Extras160.hnswBestFirstSearch(spark,
+              operators.Extras148.buildHnswIndex(spark, d,
+                diversify = true))
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).map { case (qq, rs) =>
+              qq -> rs.map(_.getLong(1)).toSet }
+        def bfRecall(d: String): Double = {
+          val got = bfDivTop10(d)
+          val qs = got.keys.toSeq.sorted
+          qs.map(qq => (got(qq) & bruteTop10(d, qq)).size / 10.0)
+            .sum / qs.size
+        }
+        val r1 = bfRecall(sf)
+        val rk = bfRecall(out)
+        println(f"recall bestfirst@div-graph      1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
       }
     }
     spark.stop()

@@ -234,89 +234,159 @@ object Extras148 {
     // every top-k ties on vec_id, the UNION dedups are on exact ids.
     // Scale: graph build is Σ occ²/cell (quadratic-within-bounded-
     // cells), search touches ≤ B·9 edges/round/query.
-    "q_llm_ann_hnsw" -> ((s, d) => {
-      val P = s.conf.get("spark.sql.shuffle.partitions").toInt
-      def d2(a: String, b: String) = expr(
-        s"""aggregate(zip_with($a, $b,
-              (x, y) -> (x.q6 - y.q6) * (x.q6 - y.q6)),
-              CAST(0 AS BIGINT), (s, v) -> s + v)""")
-      def dot(a: String, b: String) = expr(
-        s"""aggregate(zip_with($a, $b, (x, y) -> x.q6 * y.q6),
-              CAST(0 AS BIGINT), (s, v) -> s + v)""")
-      // INDEX BUILD, amortized (round-13 verdict item 1): the packed
-      // vector table and the navigable graph — whose build is the
-      // Σ occ²/cell in-cell kNN, the whole cost of a cold invocation —
-      // persist as parquet keyed by the source snapshot. The graded
-      // query is SEARCH against the built graph (entry scan + bounded
-      // beam), the production HNSW deployment. Exact BIGINT arrays
-      // round-trip parquet bit-identically: results unchanged.
-      val idxDir = FixtureCache.ensure("ann_hnsw_idx",
-        Seq(s"$d/embeddings.parquet"),
-        "packed micro vectors + in-cell 8-NN/hub/mesh edge list, v1") {
-        dest =>
-        // packed per-vector micro arrays (dim-sorted) — EVERY distance
-        // and dot below is one codegen'd zip_with fold over these; no
-        // exploded per-dim relation ever shuffles (the per-dim coarse
-        // assignment alone was a 4M-row groupBy + window)
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .toDF("vec_id", "pos", "x")
-          .select(col("vec_id"), (col("pos") + 1).as("dim"),
-            (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
-              * 1000000).cast("long").as("q6"))
-          .groupBy(col("vec_id"))
-          .agg(sort_array(collect_list(struct(col("dim"), col("q6"))))
-            .as("v"))
-          .repartition(P, col("vec_id"))
-          .write.parquet(s"$dest/vpack")
-        val vpack0 = s.read.parquet(s"$dest/vpack").localCheckpoint()
-        val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
-          .select(when(col("nv") <= 512, 8L)
-            .when(col("nv") <= 1024, 16L)
-            .when(col("nv") <= 2048, 32L)
-            .otherwise(64L).as("c"))
-        val centArr = vpack0.crossJoin(broadcast(nc))
-          .where(col("vec_id") < col("c"))
-          .select(col("vec_id").as("ccid"), col("v").as("cv"))
-        // coarse assignment: max dot, ties to the SMALLER ccid (the
-        // ivfpq row_number(cdot DESC, ccid) order) via max(struct) on
-        // (cdot, -ccid)
-        val assign = vpack0.crossJoin(broadcast(centArr))
-          .select(col("vec_id"), col("ccid"), dot("v", "cv").as("cdot"))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cdot"), (-col("ccid")).as("nid")))
-            .as("m"))
-          .select(col("vec_id"), (-col("m.nid")).as("cell"))
-        val vpack = vpack0.join(assign, "vec_id")
-          .localCheckpoint()
-        // base-layer graph
-        val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
-          col("v").as("va"))
-        val vp2 = vpack.select(col("vec_id").as("dst"),
-          col("cell").as("cell2"), col("v").as("vb"))
-        val knn = vp1.join(vp2, col("cell") === col("cell2")
-            && col("src") =!= col("dst"))
-          .select(col("src"), col("dst"), d2("va", "vb").as("dd"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("src"))
-              .orderBy(col("dd"), col("dst"))))
-          .where(col("rn") <= 8)
-          .select(col("src"), col("dst"))
-        val hub = assign.groupBy(col("cell"))
-          .agg(min(col("vec_id")).as("h"))
-        val toHub = assign.join(hub, "cell")
-          .where(col("vec_id") =!= col("h"))
-          .select(col("vec_id").as("src"), col("h").as("dst"))
-        val h1 = hub.select(col("h").as("src"))
-        val h2 = hub.select(col("h").as("dst"))
-        val mesh = h1.crossJoin(h2).where(col("src") =!= col("dst"))
-        knn.unionByName(toHub).unionByName(mesh)
-          .distinct()
-          .write.parquet(s"$dest/edges")
-      }
-      // SEARCH: read the built index; both relations are re-joined
-      // every beam round, so one checkpoint each (shared-subtree rule)
-      val vpack = s.read.parquet(s"$idxDir/vpack").localCheckpoint()
+    "q_llm_ann_hnsw" -> ((s, d) =>
+      hnswBeamSearch(s, buildHnswIndex(s, d, diversify = false)))
+  )
+
+  /** Packed-array zip_with exact L2² fold (BIGINT micro²). */
+  private def d2(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b,
+          (x, y) -> (x.q6 - y.q6) * (x.q6 - y.q6)),
+          CAST(0 AS BIGINT), (s, v) -> s + v)""")
+  private def dot(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x.q6 * y.q6),
+          CAST(0 AS BIGINT), (s, v) -> s + v)""")
+
+  /** SHARED HNSW index build (round-14 ADVICE item 1: one derivation,
+    * called by every key that reads the fixture, so the recipe cannot
+    * drift between byte-duplicated bodies).
+    *
+    * INDEX BUILD, amortized (round-13 verdict item 1): the packed
+    * vector table and the navigable graph — whose build is the
+    * Σ occ²/cell in-cell kNN, the whole cost of a cold invocation —
+    * persist as parquet keyed by the source snapshot. The graded
+    * queries are SEARCH against the built graph (entry scan + bounded
+    * beam / best-first), the production HNSW deployment. Exact BIGINT
+    * arrays round-trip parquet bit-identically: results unchanged.
+    *
+    * diversify=false → plain in-cell 8-NN edges (the round-12 graph).
+    * diversify=true → the paper's Algorithm-4 heuristic neighbor
+    * selection, re-expressed ORDER-FREE as the classic RNG rule so
+    * both engines state it declaratively: from a 24-candidate in-cell
+    * pool, candidate e (rank r_e by exact distance to q) is PRUNED if
+    * some closer-ranked candidate r has d²(e,r) < d²(e,q) — e is
+    * better reached THROUGH r, so the edge slot is spent on a new
+    * direction instead. Kept edges = first 8 by (pruned ASC, rank) —
+    * the paper's keepPrunedConnections backfill, so degree stays 8
+    * and the graph only gets MORE diverse, never sparser. This is
+    * what turns near-duplicate edge fans into long-range links (the
+    * round-14 8×-miss diagnosis: the lost neighbor's nearest in-link
+    * ranked 168th — reachable only through a diversified edge).
+    * Scale: the prune join adds ≤ 24·23/2 exact pair folds per node —
+    * corpus-LINEAR, charged to the ingest-time build like the rest. */
+  private[graft] def buildHnswIndex(s: SparkSession, d: String,
+      diversify: Boolean): String = {
+    val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val (fixName, salt) =
+      if (diversify)
+        ("ann_hnsw_div_idx", "packed micro vectors + Alg.4/RNG-" +
+          "diversified 8-edge list (24-NN pool, keep-pruned backfill)" +
+          " + hub/mesh, v1")
+      else
+        ("ann_hnsw_idx",
+          "packed micro vectors + in-cell 8-NN/hub/mesh edge list, v1")
+    FixtureCache.ensure(fixName, Seq(s"$d/embeddings.parquet"), salt) {
+      dest =>
+      // packed per-vector micro arrays (dim-sorted) — EVERY distance
+      // and dot below is one codegen'd zip_with fold over these; no
+      // exploded per-dim relation ever shuffles (the per-dim coarse
+      // assignment alone was a 4M-row groupBy + window)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "x")
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
+            * 1000000).cast("long").as("q6"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("q6"))))
+          .as("v"))
+        .repartition(P, col("vec_id"))
+        .write.parquet(s"$dest/vpack")
+      val vpack0 = s.read.parquet(s"$dest/vpack").localCheckpoint()
+      val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+        .select(when(col("nv") <= 512, 8L)
+          .when(col("nv") <= 1024, 16L)
+          .when(col("nv") <= 2048, 32L)
+          .otherwise(64L).as("c"))
+      val centArr = vpack0.crossJoin(broadcast(nc))
+        .where(col("vec_id") < col("c"))
+        .select(col("vec_id").as("ccid"), col("v").as("cv"))
+      // coarse assignment: max dot, ties to the SMALLER ccid (the
+      // ivfpq row_number(cdot DESC, ccid) order) via max(struct) on
+      // (cdot, -ccid)
+      val assign = vpack0.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("ccid"), dot("v", "cv").as("cdot"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cdot"), (-col("ccid")).as("nid")))
+          .as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("cell"))
+      val vpack = vpack0.join(assign, "vec_id")
+        .localCheckpoint()
+      // base-layer graph
+      val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
+        col("v").as("va"))
+      val vp2 = vpack.select(col("vec_id").as("dst"),
+        col("cell").as("cell2"), col("v").as("vb"))
+      val knn =
+        if (!diversify)
+          vp1.join(vp2, col("cell") === col("cell2")
+              && col("src") =!= col("dst"))
+            .select(col("src"), col("dst"), d2("va", "vb").as("dd"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("dd"), col("dst"))))
+            .where(col("rn") <= 8)
+            .select(col("src"), col("dst"))
+        else {
+          // Alg.4/RNG heuristic selection over the 24-NN pool; the
+          // pool is referenced three times below → one checkpoint
+          // (shared-subtree rule)
+          val pool = vp1.join(vp2, col("cell") === col("cell2")
+              && col("src") =!= col("dst"))
+            .select(col("src"), col("dst"), d2("va", "vb").as("dd"),
+              col("vb"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(col("dd"), col("dst"))))
+            .where(col("rn") <= 24)
+            .localCheckpoint()
+          val closer = pool.select(col("src").as("src2"),
+            col("rn").as("rn2"), col("vb").as("v2"))
+          val prunedE = pool.join(closer,
+              col("src") === col("src2") && col("rn2") < col("rn"))
+            .where(d2("vb", "v2") < col("dd"))
+            .select(col("src"), col("dst")).distinct()
+          pool.join(prunedE.withColumn("p", lit(1)),
+              Seq("src", "dst"), "left")
+            .withColumn("rn2", row_number().over(
+              Window.partitionBy(col("src"))
+                .orderBy(coalesce(col("p"), lit(0)), col("rn"))))
+            .where(col("rn2") <= 8)
+            .select(col("src"), col("dst"))
+        }
+      val hub = assign.groupBy(col("cell"))
+        .agg(min(col("vec_id")).as("h"))
+      val toHub = assign.join(hub, "cell")
+        .where(col("vec_id") =!= col("h"))
+        .select(col("vec_id").as("src"), col("h").as("dst"))
+      val h1 = hub.select(col("h").as("src"))
+      val h2 = hub.select(col("h").as("dst"))
+      val mesh = h1.crossJoin(h2).where(col("src") =!= col("dst"))
+      knn.unionByName(toHub).unionByName(mesh)
+        .distinct()
+        .write.parquet(s"$dest/edges")
+    }
+  }
+
+  /** SHARED beam-16 layer-0 search (5 rounds) over a built HNSW
+    * fixture — the batched production variant (best-first is the
+    * paper-parity study in Extras160). */
+  private[graft] def hnswBeamSearch(s: SparkSession,
+      idxDir: String): DataFrame = {
+    val P = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // SEARCH: read the built index; both relations are re-joined
+    // every beam round, so one checkpoint each (shared-subtree rule)
+    val vpack = s.read.parquet(s"$idxDir/vpack").localCheckpoint()
       val edges = s.read.parquet(s"$idxDir/edges")
         .repartition(P, col("src"))
         .localCheckpoint()
@@ -374,8 +444,7 @@ object Extras148 {
         .select(col("qid"), col("rank"), col("vec_id"),
           r6(col("dd").cast("double") / lit(1e12)).as("dist"))
         .orderBy(col("qid"), col("rank"))
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
 
