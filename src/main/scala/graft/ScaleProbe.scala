@@ -883,6 +883,39 @@ object ScaleProbe {
         val r1 = bfRecall(sf)
         val rk = bfRecall(out)
         println(f"recall bestfirst@div-graph      1x=$r1%4.2f ${k}x=$rk%4.2f (recall@10 vs brute force, mean over 4 queries)")
+        // budget-vs-edge-bound probe: the graded beam spec is 5
+        // rounds on both engines; one extra round tells whether the
+        // residual Kx misses are round-budget losses (recall rises)
+        // or true reachability losses (flat)
+        def beamRounds(d: String, g: Boolean, rounds: Int): Double = {
+          val got = operators.Extras148.hnswBeamSearch(spark,
+              operators.Extras148.buildHnswIndex(spark, d,
+                diversify = g), rounds)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).map { case (qq, rs) =>
+              qq -> rs.map(_.getLong(1)).toSet }
+          val qs = got.keys.toSeq.sorted
+          qs.map(qq => (got(qq) & bruteTop10(d, qq)).size / 10.0)
+            .sum / qs.size
+        }
+        val b6p = beamRounds(out, false, 6)
+        val b6d = beamRounds(out, true, 6)
+        println(f"recall beam-rounds=6 @${k}x         plain=$b6p%4.2f div=$b6d%4.2f (budget-bound probe)")
+        // ef-budget probe for the Kx best-first dip on the richer
+        // graph: ef=24/cap=24 (still bounded driver rounds)
+        def bfEf(d: String, ef: Int): Double = {
+          val got = operators.Extras160.hnswBestFirstSearch(spark,
+              operators.Extras148.buildHnswIndex(spark, d,
+                diversify = true), ef, ef + 8)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).map { case (qq, rs) =>
+              qq -> rs.map(_.getLong(1)).toSet }
+          val qs = got.keys.toSeq.sorted
+          qs.map(qq => (got(qq) & bruteTop10(d, qq)).size / 10.0)
+            .sum / qs.size
+        }
+        val bf24 = bfEf(out, 24)
+        println(f"recall bestfirst@div ef=24 @${k}x   $bf24%4.2f (ef-budget probe)")
       }
     }
     spark.stop()

@@ -280,8 +280,8 @@ object Extras148 {
     val (fixName, salt) =
       if (diversify)
         ("ann_hnsw_div_idx", "packed micro vectors + Alg.4/RNG-" +
-          "diversified 8-edge list (24-NN pool, keep-pruned backfill)" +
-          " + hub/mesh, v1")
+          "diversified 8-edge list (24-NN pool over self+3 nearest " +
+          "cells, keep-pruned backfill) + hub/mesh, v2")
       else
         ("ann_hnsw_idx",
           "packed micro vectors + in-cell 8-NN/hub/mesh edge list, v1")
@@ -338,10 +338,28 @@ object Extras148 {
             .where(col("rn") <= 8)
             .select(col("src"), col("dst"))
         else {
-          // Alg.4/RNG heuristic selection over the 24-NN pool; the
-          // pool is referenced three times below → one checkpoint
-          // (shared-subtree rule)
-          val pool = vp1.join(vp2, col("cell") === col("cell2")
+          // Alg.4/RNG heuristic selection over a 24-NN pool drawn from
+          // the node's OWN cell PLUS its 3 nearest neighbor cells (the
+          // paper's extendCandidates: within-cell diversification alone
+          // cannot mint the long-range CROSS-cell links the round-14
+          // 8×-miss diagnosis calls for — the lost neighbor's nearest
+          // in-link ranked 168th, in another cell). Cell adjacency =
+          // exact centroid L2 top-4 (self ranks first at distance 0);
+          // the adjacency relation is ≤ c·4 rows — broadcast. Pool join
+          // cost: 4·occ candidates per node, still corpus-linear and
+          // ingest-charged. Pool referenced three times below → one
+          // checkpoint (shared-subtree rule).
+          val cn = centArr.crossJoin(broadcast(centArr
+              .select(col("ccid").as("c2"), col("cv").as("cv2"))))
+            .select(col("ccid").as("cell"), col("c2"),
+              d2("cv", "cv2").as("cd"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("cell"))
+                .orderBy(col("cd"), col("c2"))))
+            .where(col("rn") <= 4)
+            .select(col("cell"), col("c2"))
+          val pool = vp1.join(broadcast(cn), "cell")
+            .join(vp2, col("c2") === col("cell2")
               && col("src") =!= col("dst"))
             .select(col("src"), col("dst"), d2("va", "vb").as("dd"),
               col("vb"))
@@ -378,11 +396,13 @@ object Extras148 {
     }
   }
 
-  /** SHARED beam-16 layer-0 search (5 rounds) over a built HNSW
-    * fixture — the batched production variant (best-first is the
-    * paper-parity study in Extras160). */
+  /** SHARED beam-16 layer-0 search over a built HNSW fixture — the
+    * batched production variant (best-first is the paper-parity study
+    * in Extras160). rounds=5 is the graded spec on BOTH engines; the
+    * parameter exists for ScaleProbe's budget-vs-edge-bound recall
+    * probe only. */
   private[graft] def hnswBeamSearch(s: SparkSession,
-      idxDir: String): DataFrame = {
+      idxDir: String, rounds: Int = 5): DataFrame = {
     val P = s.conf.get("spark.sql.shuffle.partitions").toInt
     // SEARCH: read the built index; both relations are re-joined
     // every beam round, so one checkpoint each (shared-subtree rule)
@@ -411,7 +431,7 @@ object Extras148 {
       val bw = Window.partitionBy(col("qid"))
         .orderBy(col("dd"), col("vec_id"))
       var state = entry.withColumn("exp", lit(false)).localCheckpoint()
-      for (_ <- 1 to 5) {
+      for (_ <- 1 to rounds) {
         // frontier = the 16 best not-yet-expanded per query
         val front = state.where(!col("exp"))
           .withColumn("rn", row_number().over(bw))

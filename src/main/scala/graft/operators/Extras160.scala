@@ -222,7 +222,7 @@ object Extras160 {
     * Alg.4-diversified graphs (round-14 verdict item 4); the graded
     * key reads the plain fixture. */
   private[graft] def hnswBestFirstSearch(s: SparkSession,
-      idxDir: String): DataFrame = {
+      idxDir: String, ef: Int = 16, maxRounds: Int = 16): DataFrame = {
       val P = s.conf.get("spark.sql.shuffle.partitions").toInt
       def d2(a: String, b: String) = expr(
         s"""aggregate(zip_with($a, $b,
@@ -262,7 +262,7 @@ object Extras160 {
       import s.implicits._
       var t = 0
       var active = true
-      while (t < 16 && active) {
+      while (t < maxRounds && active) {
         // ONE ranked pass yields both the ef-bound (16th-best found)
         // and the best unexpanded node (min struct over !exp rows —
         // no second window); the gated frontier is BY CONSTRUCTION
@@ -273,7 +273,7 @@ object Extras160 {
         val baRows = state
           .withColumn("rn", row_number().over(bw))
           .groupBy(col("qid"))
-          .agg(max(when(col("rn") <= 16, col("dd"))).as("t16"),
+          .agg(max(when(col("rn") <= ef, col("dd"))).as("t16"),
             min(when(!col("exp"),
               struct(col("dd"), col("vec_id")))).as("bu"))
           .where(col("bu").isNotNull && col("bu.dd") <= col("t16"))

@@ -106,6 +106,15 @@ object Extras162 {
             ee AS MATERIALIZED (
               SELECT e.vec_id, e.dim, e.q6, asg.cell
               FROM e JOIN asg USING (vec_id)),
+            cn AS MATERIALIZED (
+              SELECT cell, c2 FROM (
+                SELECT a.ccid AS cell, b.ccid AS c2,
+                  row_number() OVER (PARTITION BY a.ccid
+                    ORDER BY SUM((a.c6 - b.c6) * (a.c6 - b.c6)),
+                      b.ccid) AS rn
+                FROM cent a JOIN cent b ON a.dim = b.dim
+                GROUP BY a.ccid, b.ccid) t
+              WHERE rn <= 4),
             pool AS MATERIALIZED (
               SELECT src, dst, dd, rn FROM (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -114,7 +123,9 @@ object Extras162 {
                   row_number() OVER (PARTITION BY a.vec_id
                     ORDER BY SUM((a.q6 - b.q6) * (a.q6 - b.q6)),
                       b.vec_id) AS rn
-                FROM ee a JOIN ee b ON a.cell = b.cell
+                FROM ee a
+                JOIN cn ON cn.cell = a.cell
+                JOIN ee b ON b.cell = cn.c2
                   AND a.dim = b.dim AND a.vec_id <> b.vec_id
                 GROUP BY a.vec_id, b.vec_id) t
               WHERE rn <= 24),
