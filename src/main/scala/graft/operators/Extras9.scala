@@ -173,7 +173,10 @@ object Extras9 {
       val centsCdf = ev.groupBy(col("cents")).agg(count(lit(1)).as("n"))
         .withColumn("cum", sum(col("n")).over(Window.orderBy("cents")))
         .select(col("cents"), col("cum"))
-      val probes = ev.agg(count(lit(1)).as("n_total"))
+      // n_total from the bucket-CDF relation, NOT a third scan of the
+      // raw events (round-15: the probe spine is derived data; the raw
+      // table is read exactly twice — sketch build + exact CDF)
+      val probes = perShard.agg(sum(col("n")).as("n_total"))
         .select(col("n_total"), explode(array(
           lit(10000L), lit(250000L), lit(500000L),
           lit(750000L), lit(900000L), lit(990000L))).as("q_ppm"))
