@@ -918,6 +918,83 @@ object ScaleProbe {
         println(f"recall bestfirst@div ef=24 @${k}x   $bf24%4.2f (ef-budget probe)")
       }
     }
+
+    // Banded-dedup exact-verify RECALL at 1× and K× (round-14 verdict
+    // item 8: extend the contamination/ANN-recall evidence pattern to
+    // the dedup family). The graded banded keys exact-verify their
+    // CANDIDATES, so their precision is 1.0 by construction — what the
+    // banding trades away is RECALL: true near-pairs whose signatures
+    // never collide in any band. Ground truth over all pairs is O(n²),
+    // so it is computed ONE-SIDED: ~80 deterministically sampled query
+    // docs (corpus-proportional modulus — the probe-count is constant
+    // at any scale) against the full corpus; recall = the fraction of
+    // a sampled doc's true near-pairs the graded key's output contains.
+    val dedupRecallKeys = Seq("q_llm_dedup_minhash", "q_llm_simhash_lsh")
+      .filter(kk => only.isEmpty || only(kk))
+    if (dedupRecallKeys.nonEmpty) {
+      import graft.Det.md5long
+      def sampled(d: String) = {
+        val n = spark.read.parquet(s"$d/documents.parquet").count()
+        val m = math.max(1L, n / 80)
+        spark.read.parquet(s"$d/documents.parquet")
+          .where(pmod(md5long(col("doc_id").cast("string")), lit(m)) === 0)
+          .select(col("doc_id").as("qid"))
+      }
+      def norm(a: Long, b: Long) = (math.min(a, b), math.max(a, b))
+      def keyPairs(key: String, d: String): Set[(Long, Long)] =
+        SparkEntry.queries(key)(spark, d)
+          .select("doc_a", "doc_b").collect()
+          .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+      if (dedupRecallKeys.contains("q_llm_dedup_minhash")) {
+        def truth(d: String): Set[(Long, Long)] = {
+          val rows = operators.LlmOps.shingleTrips(spark, d)
+          val qs = rows.join(broadcast(sampled(d)),
+              col("doc_id") === col("qid"))
+            .select(col("qid"), col("s0"), col("nsh").as("nq"))
+          qs.join(rows, Seq("s0"))
+            .where(col("doc_id") =!= col("qid"))
+            .groupBy(col("qid"), col("doc_id"))
+            .agg(count(lit(1)).as("inter"),
+              min(col("nq")).cast("long").as("na"),
+              min(col("nsh")).cast("long").as("nb"))
+            .where(col("inter").cast("double")
+              / (col("na") + col("nb") - col("inter")) >= 0.6)
+            .select(col("qid"), col("doc_id")).collect()
+            .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+        }
+        def rec(d: String): (Double, Int) = {
+          val t = truth(d)
+          if (t.isEmpty) (1.0, 0)
+          else ((t & keyPairs("q_llm_dedup_minhash", d)).size.toDouble
+            / t.size, t.size)
+        }
+        val (r1, n1) = rec(sf)
+        val (rk, nk) = rec(out)
+        println(f"recall q_llm_dedup_minhash banding 1x=$r1%4.2f (truth n=$n1) ${k}x=$rk%4.2f (truth n=$nk) — J>=0.6 pairs of ~80 sampled docs")
+      }
+      if (dedupRecallKeys.contains("q_llm_simhash_lsh")) {
+        def truth(d: String): Set[(Long, Long)] = {
+          val sig = SparkEntry.queries("q_llm_simhash")(spark, d)
+          val qs = sig.join(broadcast(sampled(d)),
+              col("doc_id") === col("qid"))
+            .select(col("qid"), col("simhash").as("qh"))
+          sig.crossJoin(broadcast(qs))
+            .where(col("doc_id") =!= col("qid") &&
+              bit_count(col("simhash").bitwiseXOR(col("qh"))) <= 6)
+            .select(col("qid"), col("doc_id")).collect()
+            .map(r => norm(r.getLong(0), r.getLong(1))).toSet
+        }
+        def rec(d: String): (Double, Int) = {
+          val t = truth(d)
+          if (t.isEmpty) (1.0, 0)
+          else ((t & keyPairs("q_llm_simhash_lsh", d)).size.toDouble
+            / t.size, t.size)
+        }
+        val (r1, n1) = rec(sf)
+        val (rk, nk) = rec(out)
+        println(f"recall q_llm_simhash_lsh banding  1x=$r1%4.2f (truth n=$n1) ${k}x=$rk%4.2f (truth n=$nk) — hamming<=6 pairs of ~80 sampled docs")
+      }
+    }
     spark.stop()
   }
 }

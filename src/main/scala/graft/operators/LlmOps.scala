@@ -46,7 +46,7 @@ object LlmOps {
     * pass — the count rides on every row so no consumer needs a second
     * aggregation pass over the kernel (shared by the exact near-dup
     * pipeline and the MinHash-LSH verification step). */
-  private[operators] def shingleTrips(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleTrips(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
