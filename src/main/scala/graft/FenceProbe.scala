@@ -14,18 +14,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
   * worse, the cross-engine hash contract breaks EARLIER than the cast:
   * Spark's sum(long) wraps at int64 while DuckDB promotes to HUGEINT,
   * so any long→double cast whose operand can grow with the corpus is
-  * a latent divergence. This probe rewrites every graded query's
-  * analyzed plan, wrapping EVERY Cast(LongType → DoubleType) AND every
-  * Cast(DecimalType → DoubleType) — wherever it sits: project,
-  * aggregate result, window — in a magnitude guard that raises with
-  * the query name when |operand| exceeds the threshold, then executes
-  * the full result. The decimal class (round-14 verdict item 6): the
-  * fence restructures moved corpus²-scale accumulation onto
-  * DECIMAL(38,0), whose ONLY divergence-free >2^53 double emission is
-  * Det.limbDouble (two-limb split) — a future key casting a huge
-  * decimal straight to double would reintroduce the 1-ulp
-  * Spark-vs-DuckDB rounding divergence, so those sites trip the same
-  * guard.
+  * a latent divergence. This probe rewrites every graded query's RAW
+  * analyzed plan (SparkEntry.rawQueries — the operators as stated,
+  * before the DuckCast emission twin is applied), wrapping EVERY
+  * Cast(LongType → DoubleType) — wherever it sits: project, aggregate
+  * result, window — in a magnitude guard that raises with the query
+  * name when |operand| exceeds the threshold, then executes the full
+  * result.
+  *
+  * The DECIMAL→DOUBLE class (round-14 verdict item 6) is NOT guarded
+  * any more because it is RETIRED STRUCTURALLY: the round-15 sweep
+  * found 79 graded keys whose decimal emissions sat in the latent
+  * >2^53 1-ulp window, and instead of 79 restructures, SparkEntry now
+  * rewrites every decimal→double emission into DuckDB's exact
+  * conversion sequence (graft.DuckCast — model validated on 240k+
+  * random values), making the two engines equal at ANY magnitude by
+  * construction. Decimal accumulators cannot silently wrap either
+  * (Spark decimal overflow → null, loudly hash-red) — unlike longs,
+  * which is why the long class keeps this sweep.
   *
   * Two thresholds, two verdicts:
   *   - 2^53: a hard violation at the probed SF — exactness already
@@ -79,7 +85,7 @@ object FenceProbe {
         "time-range-bounded, not volume-bounded"))
 
     var nFail, nWatch, nPass, nErr, nWaived = 0
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    SparkEntry.rawQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
         if (waived.contains(name)) {
@@ -105,24 +111,13 @@ object FenceProbe {
             val guarded = analyzed.transformUp {
               case op => op.transformExpressionsUp {
                 case c @ Cast(child, DoubleType, _, _)
-                    if child.dataType == LongType ||
-                      child.dataType.isInstanceOf[DecimalType] =>
+                    if child.dataType == LongType =>
                   n += 1
                   val msg = org.apache.spark.sql.catalyst.expressions
                     .Concat(Seq(Literal(s"FENCE:$name value="),
                       Cast(child, StringType),
                       Literal(s" site=${child.simpleString(60)}")))
-                  // the magnitude test compares in the child's OWN type
-                  // (long vs long literal; decimal vs decimal literal —
-                  // sized to hold 2^53 next to any scale) so the guard
-                  // itself never rounds
-                  val lim: Expression = child.dataType match {
-                    case LongType => Literal(threshold)
-                    case d: DecimalType =>
-                      Cast(Literal(threshold),
-                        DecimalType(math.min(38, d.scale + 17), d.scale))
-                  }
-                  If(GreaterThan(Abs(child), lim),
+                  If(GreaterThan(Abs(child), Literal(threshold)),
                     Cast(RaiseError(msg), DoubleType),
                     c)
               }

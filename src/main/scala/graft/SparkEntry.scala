@@ -196,9 +196,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregates.q1(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** The declared plans exactly as the operator files state them —
+    * FenceProbe guards THESE (the long→double wrap-horizon class must
+    * be judged on the stated accumulators, not on the emission twin's
+    * internal limbs). */
+  def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     families.iterator.map(_._1).reduce(_ ++ _)
+
+  /** One entry per implemented operator from SURVEY.md §2. Every final
+    * frame passes through DuckCast.rewrite, which replaces each
+    * DECIMAL→DOUBLE emission with DuckDB's exact conversion sequence —
+    * cross-engine-equal at ANY magnitude (see DuckCast's scaladoc; the
+    * round-15 sweep found 79 keys in the latent >2^53 1-ulp window,
+    * retired here by construction instead of per-key restructures). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => DuckCast.rewrite(s, f(s, d)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
