@@ -132,7 +132,7 @@ object Extras129 {
       val varMicro = (limbDouble3("sdd")
         - col("rem").cast("double") * col("rem").cast("double") / nD) /
         (nD - 1)
-      a.crossJoin(sdd).select(col("nr").as("n_resamples"),
+      a.crossJoin(broadcast(sdd)).select(col("nr").as("n_resamples"),
         r6(limbDouble("sm") / lit(1e6) / nD / lit(100.0))
           .as("boot_mean_dollars"),
         r6(sqrt(varMicro) / lit(1e6) / lit(100.0))

@@ -58,16 +58,20 @@ class FixtureRegistrySpec extends AnyFunSuite {
       s"unregistered fixture(s) — add to FixtureCache.registry: $missing")
   }
 
-  test("non-literal ensure sites are the known parameterized helper only") {
+  test("non-literal ensure sites are the known parameterized helpers only") {
     val nonLiteral = sites.collect { case (p, None) => p.toString }
-    // q_join_bucketed's local helper passes `name` through; its two
+    // q_join_bucketed's local helper (Extras5) passes `name` through;
+    // Extras148.buildHnswIndex selects between the plain and the
+    // Alg.4-diversified fixture (round-15: ONE shared derivation for
+    // the HNSW family — the r14 ADVICE anti-drift refactor). All
     // concrete names are registered explicitly below.
-    assert(nonLiteral.forall(_.endsWith("operators/Extras5.scala")),
+    val allowed = Set("operators/Extras5.scala", "operators/Extras148.scala")
+    assert(nonLiteral.forall(p => allowed.exists(p.endsWith)),
       s"new non-literal FixtureCache.ensure site(s) $nonLiteral — either " +
         "use a literal name or extend this allowlist AND the registry")
-    assert(FixtureCache.registry.contains("gb_lineitem")
-      && FixtureCache.registry.contains("gb_orders"),
-      "the bucketed-join fixture names must stay registered")
+    assert(Seq("gb_lineitem", "gb_orders", "ann_hnsw_idx",
+        "ann_hnsw_div_idx").forall(FixtureCache.registry.contains),
+      "the parameterized helpers' fixture names must stay registered")
   }
 
   test("every registry value is a real SparkEntry query key") {
@@ -78,7 +82,10 @@ class FixtureRegistrySpec extends AnyFunSuite {
 
   test("no stale registry entries (every registered name has a call site)") {
     val literals = sites.collect { case (_, Some(n)) => n }.toSet
-    val parameterized = Set("gb_lineitem", "gb_orders")
+    // names reached through the two parameterized helpers (asserted
+    // present in the allowlist test above)
+    val parameterized = Set("gb_lineitem", "gb_orders",
+      "ann_hnsw_idx", "ann_hnsw_div_idx")
     val stale = FixtureCache.registry.keySet -- literals -- parameterized
     assert(stale.isEmpty,
       s"registry names with no FixtureCache.ensure call site: $stale")
