@@ -78,7 +78,7 @@ object PlanDump {
     "q_agg_gini" -> "Gini (post-fence): n² rank-sums on DECIMAL(38,0) accumulators, two-limb int→double emission only at the final ratio — one value-ordered window pass, one HashAggregate",
     "q_ts_welch" -> "Welch t (post-fence): vol²-scale nano-sums carried in DECIMAL(38,0), partial+final HashAggregate, IEEE only in the final statistic via limbDouble",
     "q_ts_durbin_watson" -> "Durbin-Watson (post-fence): residual² sums on DECIMAL(38,0) over the calendar-spine ordering, single window pass for the lag-1 diff",
-    "q_ts_block_bootstrap" -> "block bootstrap (post-fence): per-block micro-mean sums on DECIMAL(38,0) accumulation, block spine broadcast, two-limb emission at the CI tails"
+    "q_ts_block_bootstrap" -> "block bootstrap (post-fence): CENTERED variance on DECIMAL(38,0) deviations (m = sm div nr, exact rem²/n correction — no n·Σx²−(Σx)² cancellation), three-limb emission (Det.limbDouble3), 1-row stats relations broadcast"
   )
 
   def main(args: Array[String]): Unit = {
