@@ -41,9 +41,26 @@ import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType,
   * window) now agrees instead of diverging.
   *
   * Scope: applied by SparkEntry to every graded query's final frame
-  * (Verify/Bench/specs/probes all read the wrapped map). FenceProbe
-  * guards the RAW plans (SparkEntry.rawQueries) for the long→double
-  * wrap-horizon class; the decimal class is retired by construction.
+  * (Verify/Bench/specs/probes all read the wrapped map), AND at both
+  * in-query materialization boundaries a final-plan rewrite cannot
+  * see (round-15 ADVICE, medium): driver-loop / shared-subtree
+  * `localCheckpoint` cuts go through the operators package's
+  * `duckCkpt()` (rewrite-then-checkpoint), and every streaming key's
+  * pipeline is rewritten by StreamOps' runToMemory* runners BEFORE
+  * writeStream materializes it. The residual uncovered surface is a
+  * checkpoint outside graft.operators (none in the graded set —
+  * `localCheckpoint` greps to zero outside duckCkpt itself) — so a
+  * decimal emission inside a materialized stage now gets the same
+  * twin as the final frame, not just the final-plan subset.
+  *
+  * Validated-scale fence (round-15 ADVICE, low): the empirical model
+  * was fuzz-validated for s = 0..6 on the hugeint path (and the
+  * int64 path's 10^s descale divisor is an exact double for every
+  * representable s ≤ 18). A p>18 cast with s > 6 would rely on an
+  * untested unscaling multiply, so rewrite() leaves it NATIVE and
+  * prints one loud stderr line instead of silently trusting the
+  * model — duckTwin itself refuses such inputs. No graded key emits
+  * one (the round-15 sweep + this fence's stderr stay silent).
   *
   * Known bound (documented, not reachable at mandate scale): the
   * p>18, s>0 unscaling multiply needs digits(U) + s ≤ 38 — beyond
@@ -53,7 +70,16 @@ import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType,
 object DuckCast {
   private val Two64 = BigDecimal(2).pow(64)
 
+  /** True iff the twin's model is validated for this type: int64
+    * storage at any representable scale, hugeint storage at the
+    * fuzz-validated s = 0..6 (DuckCastSpec + tools/duckcast_fuzz.py). */
+  private[graft] def validated(d: DecimalType): Boolean =
+    d.precision <= 18 || d.scale <= 6
+
   private[graft] def duckTwin(child: Expression, d: DecimalType): Expression = {
+    require(validated(d),
+      s"duckTwin model unvalidated for DECIMAL(${d.precision},${d.scale})" +
+        " (hugeint path fuzz-validated only for scale 0..6)")
     val s = d.scale
     def descale(e: Expression): Expression =
       if (s == 0) e else Divide(e, Literal(math.pow(10, s)))
@@ -88,10 +114,18 @@ object DuckCast {
     // transformUp missed casts nested inside them
     val out = df.queryExecution.analyzed.transformUpWithSubqueries {
       case op => op.transformExpressionsUp {
-        case Cast(child, DoubleType, _, _)
+        case c @ Cast(child, DoubleType, _, _)
             if child.dataType.isInstanceOf[DecimalType] =>
-          n += 1
-          duckTwin(child, child.dataType.asInstanceOf[DecimalType])
+          val d = child.dataType.asInstanceOf[DecimalType]
+          if (validated(d)) { n += 1; duckTwin(child, d) }
+          else {
+            // Unvalidated-scale fence: keep the native cast, loudly.
+            System.err.println(
+              s"[duckcast] UNVALIDATED DECIMAL(${d.precision},${d.scale})" +
+                "->DOUBLE left native (twin model fuzz-validated only to" +
+                " scale 6 on the hugeint path)")
+            c
+          }
       }
     }
     if (n == 0) df else ColumnBridge.ofRows(spark, out)

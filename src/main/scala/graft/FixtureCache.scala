@@ -90,7 +90,12 @@ object FixtureCache {
     "ann_ivfpq_lloyd2_idx"    -> "q_llm_ann_ivfpq_lloyd2",
     "ann_hnsw_idx"            -> "q_llm_ann_hnsw",
     "ann_hnsw_ml_idx"         -> "q_llm_ann_hnsw_ml",
-    "ann_hnsw_div_idx"        -> "q_llm_ann_hnsw_div"
+    "ann_hnsw_div_idx"        -> "q_llm_ann_hnsw_div",
+    // ScaleProbe-only M0=2M layer-0-degree A/B fixture (round-15
+    // verdict item 3); maps to the graded div key's family so the
+    // registry invariant (every value is a real key) holds — Bench's
+    // value-distinct prewarm dedups it away.
+    "ann_hnsw_div_m16_idx"    -> "q_llm_ann_hnsw_div"
   )
 
   private lazy val root: Path = {

@@ -203,6 +203,22 @@ object SparkEntry {
   def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     families.iterator.map(_._1).reduce(_ ++ _)
 
+  /** THE bench/probe iteration order (round-15 verdict item 1). The
+    * merged `queries` map is a HashMap, so iterating IT reshuffles the
+    * whole bench sequence whenever ANY key is added — the proven
+    * mechanism behind r14's quantile_sketch ghost (cold codegen/JIT
+    * re-charged to different graded samples every round the surface
+    * grew). This order is structural instead: families in declared
+    * registration order, keys within a family sorted — independent of
+    * any Map implementation. Adding a family APPENDS its block; adding
+    * a key to an existing family inserts at one alphabetical slot, so
+    * every other key keeps its exact predecessor context (only the
+    * inserted key's immediate successor sees one new predecessor).
+    * Bench, KeyOrder, and QueryProbe all iterate THIS (KeyOrderSpec
+    * pins the append/shift-stability property). */
+  val orderedKeys: Seq[String] =
+    families.iterator.flatMap(_._1.keys.toSeq.sorted).toSeq
+
   /** One entry per implemented operator from SURVEY.md §2. Every final
     * frame passes through DuckCast.rewrite, which replaces each
     * DECIMAL→DOUBLE emission with DuckDB's exact conversion sequence —

@@ -40,7 +40,7 @@ object Components {
   private def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.localCheckpoint()
+    else df.duckCkpt()
 
   /** @param pairs undirected edges as (a, b) long columns (any names,
     *              positional); returns (id, lbl) with lbl = component min. */

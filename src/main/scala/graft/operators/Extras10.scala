@@ -86,7 +86,7 @@ object Extras10 {
         .select(col("vec_id"), (col("pos") + 1).as("dim"),
           ((round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             * 1000000).cast("long") + 1000000L).as("q"))
-        .localCheckpoint()
+        .duckCkpt()
       var c = e.where(col("vec_id") < 4)
         .select(col("vec_id").as("c"), col("dim"), col("q").as("cv"))
       val steps = (1 to KmeansSteps).map { step =>
@@ -97,7 +97,7 @@ object Extras10 {
         val assign = dist.withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("c"), col("dist"))
-          .localCheckpoint()
+          .duckCkpt()
         c = e.join(assign.select(col("vec_id"), col("c")), "vec_id")
           .groupBy(col("c"), col("dim"))
           .agg(expr("sum(q) div count(1)").as("cv"))
@@ -132,7 +132,7 @@ object Extras10 {
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val ce = edges.join(deg, "src").localCheckpoint()
+      val ce = edges.join(deg, "src").duckCkpt()
       var r = deg.select(col("src").as("u"), lit(1000000L).as("rank"))
       for (_ <- 1 to PageRankIters) {
         r = ce.join(r.withColumnRenamed("u", "src"), "src")
@@ -141,7 +141,7 @@ object Extras10 {
           .select(col("dst").as("u"),
             expr("CAST(150000 + (850000 * contrib) div 1000000 AS BIGINT)")
               .as("rank"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       r.orderBy("u")
     }),

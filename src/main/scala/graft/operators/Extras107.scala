@@ -50,7 +50,7 @@ object Extras107 {
         .select(col("mask"),
           round(col("c").cast("double") / col("n").cast("double") * 1e6)
             .cast("long").as("v_micro"))
-        .localCheckpoint()
+        .duckCkpt()
       val pairs = s.range(0, 4).toDF("ch")
         .crossJoin(broadcast(s.range(0, 16).toDF("sub")))
         .where(expr("(sub & shiftleft(1, cast(ch as int))) = 0"))

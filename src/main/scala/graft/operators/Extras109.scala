@@ -41,7 +41,7 @@ object Extras109 {
         .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("x"))
         .orderBy(col("x").desc, col("o_custkey"))
         .limit(101)
-        .localCheckpoint()
+        .duckCkpt()
       val ref = top.agg(min(col("x")).as("xref"))
       top.crossJoin(broadcast(ref))
         .select(round(log(col("x").cast("double") /
@@ -124,7 +124,7 @@ object Extras109 {
         round(lit(1.0) / vi * 1e9).cast("long").as("w_nano"),
         round(theta / vi * 1e9).cast("long").as("wt_nano"),
         round(theta * 1e9).cast("long").as("th_nano"))
-        .localCheckpoint()
+        .duckCkpt()
       val pooled = quant.agg(count(lit(1)).as("k"),
         sum(col("w_nano")).as("sw"), sum(col("wt_nano")).as("swt"))
         .withColumn("th_pool",

@@ -209,10 +209,10 @@ object Extras11 {
       val und = undirectedEdges(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       val nodes = e.select(col("src").as("u")).distinct()
       var res = nodes.where(pmod(col("u"), lit(35L)) === 0)
-        .select(col("u"), lit(0).as("hops")).localCheckpoint()
+        .select(col("u"), lit(0).as("hops")).duckCkpt()
       var frontier = res
       for (h <- 1 to 3) {
         val next = e
@@ -220,7 +220,7 @@ object Extras11 {
           .select(col("dst").as("u")).distinct()
           .join(res, Seq("u"), "left_anti")
           .select(col("u"), lit(h).as("hops"))
-          .localCheckpoint()
+          .duckCkpt()
         res = res.unionByName(next)
         frontier = next
       }

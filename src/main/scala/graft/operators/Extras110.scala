@@ -47,7 +47,7 @@ object Extras110 {
         .where(col("c7") === 7)
         .select(col("dt"), dayofweek(col("dt")).as("dow"),
           (col("y") * 7 - col("s7")).as("dsc"))
-        .localCheckpoint()
+        .duckCkpt()
       val seas = det.groupBy(col("dow"))
         .agg(sum(col("dsc")).as("sd"), count(lit(1)).as("cd"))
         .select(col("dow"), expr("sd * 1000000 div cd").as("s_micro"))

@@ -66,7 +66,7 @@ object Extras113 {
         .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("y"))
         .withColumn("t", row_number().over(w).cast("long"))
         .withColumn("p", sum(col("y")).over(w))
-        .localCheckpoint()
+        .duckCkpt()
       val tot = byday.agg(max(col("t")).as("n"), sum(col("y")).as("ss"))
       val g1 = byday.crossJoin(broadcast(tot))
         .withColumn("stat", abs(col("n").cast(Big) * col("p").cast(Big)
@@ -75,7 +75,7 @@ object Extras113 {
       val cp1 = g1.orderBy(col("stat").desc, col("dt")).limit(1)
         .select(col("t").as("t1"), col("p").as("p1v"), col("dt").as("d1"),
           col("stat").as("st1"), col("n"), col("ss"))
-        .localCheckpoint()
+        .duckCkpt()
       val g2 = byday.crossJoin(broadcast(cp1))
         .withColumn("seg", (col("t") > col("t1")).cast("int"))
         .withColumn("a", when(col("seg") === 1, col("t1")).otherwise(0L))

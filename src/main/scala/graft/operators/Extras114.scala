@@ -40,11 +40,11 @@ object Extras114 {
         .select(col("doc_id"), col("text"),
           size(split(col("text"), " ")).cast("long").as("ntok"),
           md5(col("text")).as("h"))
-        .localCheckpoint()
+        .duckCkpt()
       val s1 = docs.groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
           first(col("ntok")).as("ntok"))
-        .localCheckpoint()
+        .duckCkpt()
       val ws = split(col("text"), " ")
       val banded = s1.select(col("doc_id"), col("ntok"),
         md5(concat_ws(" ",
@@ -58,7 +58,7 @@ object Extras114 {
       val s2 = banded.join(keepMin, Seq("b1", "b2"))
         .where(col("doc_id") === col("keep"))
         .select(col("doc_id"), col("ntok")).distinct()
-        .localCheckpoint()
+        .duckCkpt()
       val s3 = s2.where(col("ntok") >= 20)
       val c0 = docs.agg(count(lit(1)).as("n"))
         .select(lit(0L).as("stage"), lit("all_docs").as("name"), col("n"))
@@ -86,7 +86,7 @@ object Extras114 {
                   element_at(ws, i + 2), element_at(ws, i + 3)))"""))
           .as("g"))
       val gc = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .duckCkpt()
       val tot = gc.agg(sum(col("c")).as("n"), count(lit(1)).as("types"))
       val w = Window.orderBy(col("c").desc, col("g"))
       val ranked = gc.withColumn("r", row_number().over(w).cast("long"))
@@ -111,7 +111,7 @@ object Extras114 {
         .groupBy(col("l_quantity").cast("long").as("xi"),
           (dec(col("l_discount")) * 100).cast("long").as("yi"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .duckCkpt()
       val pairs = cells.as("a")
         .join(broadcast(cells.as("b")), col("b.xi") > col("a.xi"))
         .agg(

@@ -41,7 +41,7 @@ object Extras115 {
           (substring(col("o_orderpriority"), 1, 1).cast("long") <= 2)
             .cast("long").as("tr"),
           (dec(col("o_totalprice")) * 100).cast("long").as("y"))
-        .localCheckpoint()
+        .duckCkpt()
       def meanDiff(t: Column, yc: Column): (Column, Column, Column, Column) =
         (sum(t * yc), sum(t), sum((lit(1) - t) * yc), sum(lit(1) - t))
       val obs = base.agg(sum(col("tr") * col("y")).as("s1"),

@@ -57,7 +57,7 @@ object Extras125 {
         // codegen-fast — argmin identical (scale 1e12), output
         // unchanged.
         .withColumn("q6", (col("q") * 1000000).cast("long"))
-        .localCheckpoint()
+        .duckCkpt()
       val cb = e.where(col("vec_id") < 64)
         .select(col("vec_id").as("cw"), col("dim"), col("sub"),
           col("q").as("cv"), col("q6").as("cv6"))

@@ -101,12 +101,18 @@ object Extras129 {
         .withColumn("i", pmod(
           md5long(concat(col("r"), lit("_"), col("b"))),
           col("nn") - 6) + 1)
+      // Shared-subtree rule (round-15 ADVICE): res feeds BOTH the stats
+      // aggregate `a` and the deviation pass `sdd`; without the cut the
+      // picks-join-aggregate resample subtree recomputes once per
+      // reference (deterministic via md5long, so correctness-safe, but
+      // it doubled the key's heaviest stage).
       val res = picks.join(idx, "i")
         .groupBy(col("r"))
         .agg(sum(col("bs")).as("tot"))
         .withColumn("mean_micro",
           round(col("tot").cast("double") / lit(280.0) * lit(1e6))
             .cast("long"))
+        .duckCkpt()
       // sm accumulates in DECIMAL(38,0) and emits via the two-limb
       // split (round-14 FenceProbe: Σmean_micro read 7.8e16 > 2^53
       // at sf0.1, ∝ volume — int64 overflow by ~sf12). The variance

@@ -107,7 +107,7 @@ object Extras132 {
         // the recurrent set feeds three plan references (itself plus
         // two shifted probes) — materialize once (the
         // banding_tradeoff shared-subplan lesson)
-        .localCheckpoint()
+        .duckCkpt()
       val nxt = rec.select((col("i") - 1).as("i"),
         (col("j") - 1).as("j"), lit(1L).as("has_next"))
       val onDiag = rec

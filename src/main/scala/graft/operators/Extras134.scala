@@ -44,10 +44,10 @@ object Extras134 {
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val ce = edges.join(deg, "src").localCheckpoint()
+      val ce = edges.join(deg, "src").duckCkpt()
       val nodes = deg.select(col("src").as("u"),
           (pmod(col("src"), lit(35L)) === 0).cast("long").as("seed"))
-        .localCheckpoint()
+        .duckCkpt()
       val counts = nodes.agg(count(lit(1)).as("n_nodes"),
         sum(col("seed")).as("n_seeds"))
       var r = nodes.select(col("u"), lit(1000000L).as("rank"))
@@ -62,7 +62,7 @@ object Extras134 {
             (col("seed") * expr("(150000 * n_nodes) div n_seeds")
               + expr("(850000 * coalesce(c, 0)) div 1000000"))
               .as("rank"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       r.orderBy("u")
     }),

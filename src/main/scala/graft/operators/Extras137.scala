@@ -72,7 +72,7 @@ object Extras137 {
         // than BigDecimal — values scale by exactly 1e12, so every
         // argmin/argmax picks the identical row (output unchanged).
         .withColumn("q6", (col("q") * 1000000).cast("long"))
-        .localCheckpoint()
+        .duckCkpt()
       // coarse codebook: ADAPTIVE cell count (smallest c in {8, 16,
       // 32, 64} holding expected occupancy ≤ 64 — integer thresholds
       // only, the q_llm_ann_lsh_adaptive scale rule: fixed 8 cells at

@@ -131,7 +131,7 @@ object Extras139 {
     // SCC CONDENSATION — the component-level DAG: distinct
     // (scc(src) → scc(dst)) cross-component edges with multiplicity.
     "q_graph_scc_dag" -> ((s, d) => {
-      val lbl = Extras138.sccLabels(s, d).localCheckpoint()
+      val lbl = Extras138.sccLabels(s, d).duckCkpt()
       Extras138.directedEdges(s, d)
         .join(lbl.select(col("u").as("src"), col("scc_id").as("scc_a")),
           "src")

@@ -92,7 +92,7 @@ object Extras140 {
       val m = terms.withColumn("m", sum(col("term")).over(wCum))
         .withColumn("ph_up", col("m") - min(col("m")).over(wCum))
         .withColumn("ph_down", max(col("m")).over(wCum) - col("m"))
-        .localCheckpoint()
+        .duckCkpt()
       def side(ph: String, tag: String): DataFrame = {
         val top = m.agg(max(col(ph)).as("stat"), max(col("t")).as("n_days"))
         m.crossJoin(broadcast(top))

@@ -135,14 +135,14 @@ object Extras142 {
       val und = Extras11.undirectedEdges(s, d)
       var e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       for (_ <- 1 to 3) {
         val keep = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("c"))
           .where(col("c") >= 2).select(col("u"))
         e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
           .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       e.agg(countDistinct(col("src")).as("n_nodes"),
           (count(lit(1)) / 2).cast("long").as("n_edges"))

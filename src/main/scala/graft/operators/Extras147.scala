@@ -122,7 +122,7 @@ object Extras147 {
       val und = Extras11.undirectedEdges(s, d)
       var e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       for (r <- 0L to 5L) {
         // 1-row bounded aggregate per round (≤6 driver reads total)
@@ -137,7 +137,7 @@ object Extras147 {
           e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
             .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
             .select(col("src"), col("dst"))
-            .localCheckpoint()
+            .duckCkpt()
         }
       }
       stats.toSeq.toDF("round", "n_nodes", "n_edges")

@@ -54,7 +54,7 @@ object Extras148 {
         // and ×256 encode expansions below onto one core
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("vec_id"))
-        .localCheckpoint() // shared-subtree rule (ivfpq precedent)
+        .duckCkpt() // shared-subtree rule (ivfpq precedent)
       val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
         .select(col("nv"), when(col("nv") <= 512, 8L)
           .when(col("nv") <= 1024, 16L)
@@ -109,7 +109,7 @@ object Extras148 {
             col("cell") === col("ccid") && col("dim") === col("cdim"))
           .select(col("vec_id"), col("dim"), col("sub"),
             (col("q6") - col("c6")).as("r6"))
-          .localCheckpoint() // feeds the codebook AND the encode
+          .duckCkpt() // feeds the codebook AND the encode
         // residual codebook: 256 stride-sampled residuals from
         // outside the centroid block (see the `s` comment above)
         resid.crossJoin(broadcast(nc.select(col("c"), col("s"))))
@@ -274,11 +274,24 @@ object Extras148 {
     * ranked 168th — reachable only through a diversified edge).
     * Scale: the prune join adds ≤ 24·23/2 exact pair folds per node —
     * corpus-LINEAR, charged to the ingest-time build like the rest. */
+  /** m0 = layer-0 out-degree for the DIVERSIFIED graph (the paper's
+    * M0; default M0 = M = 8 is the graded fixture). The round-15
+    * best-first 8× diagnosis was topology-bound — diversification
+    * thins the local kNN mesh and the paper's remedy is M0 = 2M, not
+    * more ef — so ScaleProbe A/Bs m0 = 16 against the graded 8
+    * (round-15 verdict item 3). The kept-edge count is the ONLY
+    * recipe difference; pool size (24) and the RNG prune rule are
+    * shared, and the salt versions the derivation. */
   private[graft] def buildHnswIndex(s: SparkSession, d: String,
-      diversify: Boolean): String = {
+      diversify: Boolean, m0: Int = 8): String = {
+    require(m0 == 8 || diversify, "m0 override is a diversified-graph probe")
     val P = s.conf.get("spark.sql.shuffle.partitions").toInt
     val (fixName, salt) =
-      if (diversify)
+      if (diversify && m0 != 8)
+        (s"ann_hnsw_div_m${m0}_idx", "packed micro vectors + Alg.4/RNG-" +
+          s"diversified $m0-edge list (24-NN pool over self+3 nearest " +
+          "cells, keep-pruned backfill, M0=2M probe) + hub/mesh, v1")
+      else if (diversify)
         ("ann_hnsw_div_idx", "packed micro vectors + Alg.4/RNG-" +
           "diversified 8-edge list (24-NN pool over self+3 nearest " +
           "cells, keep-pruned backfill) + hub/mesh, v2")
@@ -302,7 +315,7 @@ object Extras148 {
           .as("v"))
         .repartition(P, col("vec_id"))
         .write.parquet(s"$dest/vpack")
-      val vpack0 = s.read.parquet(s"$dest/vpack").localCheckpoint()
+      val vpack0 = s.read.parquet(s"$dest/vpack").duckCkpt()
       val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
         .select(when(col("nv") <= 512, 8L)
           .when(col("nv") <= 1024, 16L)
@@ -321,7 +334,7 @@ object Extras148 {
           .as("m"))
         .select(col("vec_id"), (-col("m.nid")).as("cell"))
       val vpack = vpack0.join(assign, "vec_id")
-        .localCheckpoint()
+        .duckCkpt()
       // base-layer graph
       val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
         col("v").as("va"))
@@ -367,7 +380,7 @@ object Extras148 {
               Window.partitionBy(col("src"))
                 .orderBy(col("dd"), col("dst"))))
             .where(col("rn") <= 24)
-            .localCheckpoint()
+            .duckCkpt()
           val closer = pool.select(col("src").as("src2"),
             col("rn").as("rn2"), col("vb").as("v2"))
           val prunedE = pool.join(closer,
@@ -379,7 +392,7 @@ object Extras148 {
             .withColumn("rn2", row_number().over(
               Window.partitionBy(col("src"))
                 .orderBy(coalesce(col("p"), lit(0)), col("rn"))))
-            .where(col("rn2") <= 8)
+            .where(col("rn2") <= m0)
             .select(col("src"), col("dst"))
         }
       val hub = assign.groupBy(col("cell"))
@@ -406,14 +419,14 @@ object Extras148 {
     val P = s.conf.get("spark.sql.shuffle.partitions").toInt
     // SEARCH: read the built index; both relations are re-joined
     // every beam round, so one checkpoint each (shared-subtree rule)
-    val vpack = s.read.parquet(s"$idxDir/vpack").localCheckpoint()
+    val vpack = s.read.parquet(s"$idxDir/vpack").duckCkpt()
       val edges = s.read.parquet(s"$idxDir/edges")
         .repartition(P, col("src"))
-        .localCheckpoint()
+        .duckCkpt()
       // queries + upper-layer entry points
       val qp = vpack.where(col("vec_id").between(0, 3))
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-        .localCheckpoint()
+        .duckCkpt()
       val upper = vpack.where(col("vec_id") % 16 === 0)
         .select(col("vec_id").as("cand"), col("v").as("vb"))
       val entry = qp.crossJoin(upper)
@@ -430,7 +443,7 @@ object Extras148 {
       // round, ~2× the wall-clock, same semantics)
       val bw = Window.partitionBy(col("qid"))
         .orderBy(col("dd"), col("vec_id"))
-      var state = entry.withColumn("exp", lit(false)).localCheckpoint()
+      var state = entry.withColumn("exp", lit(false)).duckCkpt()
       for (_ <- 1 to rounds) {
         // frontier = the 16 best not-yet-expanded per query
         val front = state.where(!col("exp"))
@@ -454,7 +467,7 @@ object Extras148 {
           .select(col("qid"), col("vec_id"), col("dd"),
             (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
           .unionByName(scored)
-          .localCheckpoint()
+          .duckCkpt()
       }
       state.where(col("vec_id") =!= col("qid"))
         .withColumn("rank", row_number().over(

@@ -28,7 +28,7 @@ object Extras15 {
       .select(col("w"), concat(lit(" "),
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("seq"),
         col("wc"))
-      .localCheckpoint()
+      .duckCkpt()
     val steps = (1 to 3).map { step =>
       val top = seqs
         .select(split(trim(col("seq")), " ").as("t"), col("wc"))
@@ -46,7 +46,7 @@ object Extras15 {
         s"non-alphanumeric BPE symbol: '$p1' '$p2'")
       seqs = seqs.select(col("w"),
         expr(s"replace(seq, ' $p1 $p2 ', ' $p1$p2 ')").as("seq"),
-        col("wc")).localCheckpoint()
+        col("wc")).duckCkpt()
       (step, p1, p2, n)
     }
     (steps, seqs)
@@ -97,10 +97,12 @@ object Extras15 {
       val out = staging.resolve("out").toString
       val chk = staging.resolve("chk").toString
       graft.streaming.StreamOps.withCappedState(s) {
-        val q = graft.streaming.StreamOps
+        // DuckCast at the sink boundary (round-15 ADVICE): self-driven
+        // parquet sink, invisible to SparkEntry's final-plan rewrite.
+        val q = graft.DuckCast.rewrite(s, graft.streaming.StreamOps
           .tumblingWithWatermark(
             graft.streaming.StreamOps.eventsFileStream(s, d))
-          .select(tsUs(col("ws")).as("ws_us"), col("event_type"), col("n"))
+          .select(tsUs(col("ws")).as("ws_us"), col("event_type"), col("n")))
           .writeStream.outputMode("append").format("parquet")
           .option("path", out).option("checkpointLocation", chk)
           .trigger(Trigger.AvailableNow())

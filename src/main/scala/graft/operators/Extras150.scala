@@ -49,7 +49,7 @@ object Extras150 {
       val und = Extras11.undirectedEdges(s, d)
       val full = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       for (k <- 1L to 4L) {
         var e = full
@@ -60,7 +60,7 @@ object Extras150 {
           e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
             .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
             .select(col("src"), col("dst"))
-            .localCheckpoint()
+            .duckCkpt()
         }
         val r = e.agg(countDistinct(col("src")).as("n"),
           count(lit(1)).as("m")).head()
@@ -79,7 +79,7 @@ object Extras150 {
     // mean division, no doubles), tie to the earliest date. The
     // bounded-round unrolled form of the generalized ESD sweep.
     "q_ts_esd_outliers" -> ((s, d) => {
-      var rem = dailyUsd(s, d).localCheckpoint()
+      var rem = dailyUsd(s, d).duckCkpt()
       val picks = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (r <- 1 to 3) {
         val tot = rem.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
@@ -92,10 +92,10 @@ object Extras150 {
           .where(col("rn") === 1)
           .select(lit(r.toLong).as("round"), col("dt"), col("v"),
             col("dev_num"), col("n"))
-          .localCheckpoint()
+          .duckCkpt()
         picks += top
         rem = rem.join(top.select(col("dt")), Seq("dt"), "left_anti")
-          .localCheckpoint()
+          .duckCkpt()
       }
       picks.reduce(_ unionByName _).orderBy(col("round"))
     }),
@@ -114,7 +114,7 @@ object Extras150 {
         .select(col("pos"), (col("v") - expr("sv div n")).as("r"))
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("pos"))
-        .localCheckpoint()
+        .duckCkpt()
       val lags = s.range(2, 61).select(col("id").as("lag"))
       val ac = res.crossJoin(broadcast(lags))
         .select(col("lag"), (col("pos") + col("lag")).as("tpos"),
@@ -149,7 +149,7 @@ object Extras150 {
           .cast("long"))
       val per = dec10.groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
-        .localCheckpoint()
+        .duckCkpt()
       val a = per.select(col("decile").as("a"))
       val b = per.select(col("decile").as("b"))
       val ivals = a.crossJoin(broadcast(b)).where(col("a") <= col("b"))

@@ -53,7 +53,7 @@ object Extras152 {
             * 1000000).cast("long").as("q6"))
         .withColumn("sub", expr("(dim - 1) div 4"))
         .repartition(P, col("vec_id")) // 1-partition expansion trap
-        .localCheckpoint()             // shared-subtree rule
+        .duckCkpt()             // shared-subtree rule
       val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
         .select(col("nv"), when(col("nv") <= 512, 8L)
           .when(col("nv") <= 1024, 16L)
@@ -94,7 +94,7 @@ object Extras152 {
             col("cell") === col("ccid") && col("dim") === col("cdim"))
           .select(col("vec_id"), col("dim"), col("sub"),
             (col("q6") - col("c6")).as("r6"))
-          .localCheckpoint() // seed book, BOTH encodes, Lloyd update
+          .duckCkpt() // seed book, BOTH encodes, Lloyd update
         // seed codebook: 256 stride-sampled residuals outside the
         // centroid block (the Extras148 non-overlap rule)
         val rcb0 = resid
@@ -104,14 +104,14 @@ object Extras152 {
             && expr("(vec_id - c) div s") < 256)
           .select(expr("(vec_id - c) div s").as("cw"), col("dim"),
             col("r6").as("rc6"))
-          .localCheckpoint() // assign-encode AND the empty-cw fallback
+          .duckCkpt() // assign-encode AND the empty-cw fallback
         // packed per-(vec, sub) residuals — computed ONCE, reused by
         // both encodes (the dominant corpus-sized relation)
         val rsub = resid.groupBy(col("vec_id"), col("sub"))
           .agg(sort_array(collect_list(struct(col("dim"), col("r6"))))
             .as("rv"))
           .repartition(P, col("vec_id")) // AQE would coalesce to 1
-          .localCheckpoint()
+          .duckCkpt()
         def encodeAgainst(book: DataFrame): DataFrame = {
           val cbSub = book
             .withColumn("sub", expr("(dim - 1) div 4"))
@@ -240,7 +240,7 @@ object Extras152 {
             .as("v"))
           .repartition(P, col("vec_id"))
           .write.parquet(s"$dest/vpack")
-        val vpack0 = s.read.parquet(s"$dest/vpack").localCheckpoint()
+        val vpack0 = s.read.parquet(s"$dest/vpack").duckCkpt()
         val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
           .select(when(col("nv") <= 512, 8L)
             .when(col("nv") <= 1024, 16L)
@@ -255,7 +255,7 @@ object Extras152 {
           .agg(max(struct(col("cdot"), (-col("ccid")).as("nid")))
             .as("m"))
           .select(col("vec_id"), (-col("m.nid")).as("cell"))
-        val vpack = vpack0.join(assign, "vec_id").localCheckpoint()
+        val vpack = vpack0.join(assign, "vec_id").duckCkpt()
         // layer-0 graph (the Extras148 base build)
         val vp1 = vpack.select(col("vec_id").as("src"), col("cell"),
           col("v").as("va"))
@@ -312,14 +312,14 @@ object Extras152 {
       // SEARCH: read the built index; vpack and the L0 edges are
       // re-joined every beam round → one checkpoint each; the L1
       // edges feed the 3 greedy hops
-      val vpack = s.read.parquet(s"$idxDir/vpack").localCheckpoint()
+      val vpack = s.read.parquet(s"$idxDir/vpack").duckCkpt()
       val edges = s.read.parquet(s"$idxDir/edges")
         .repartition(P, col("src"))
-        .localCheckpoint()
-      val edges1 = s.read.parquet(s"$idxDir/edges1").localCheckpoint()
+        .duckCkpt()
+      val edges1 = s.read.parquet(s"$idxDir/edges1").duckCkpt()
       val qp = vpack.where(col("vec_id").between(0, 3))
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-        .localCheckpoint()
+        .duckCkpt()
       // L2 entry: exact nearest stride-256 node per query
       val upper2 = vpack.where(col("vec_id") % 256 === 0)
         .select(col("vec_id").as("cand"), col("v").as("vb"))
@@ -334,7 +334,7 @@ object Extras152 {
         .agg(min(struct(col("dd"), col("vec_id"))).as("m"))
         .select(col("qid"), col("m.vec_id").as("vec_id"),
           col("m.dd").as("dd"))
-        .localCheckpoint()
+        .duckCkpt()
       // greedy ef=1 descent: 3 hops, each expands exactly the ONE
       // current node (paper-parity upper search; state is 4 rows)
       for (_ <- 1 to 3) {
@@ -347,12 +347,12 @@ object Extras152 {
           .agg(min(struct(col("dd"), col("vec_id"))).as("m"))
           .select(col("qid"), col("m.vec_id").as("vec_id"),
             col("m.dd").as("dd"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       // layer-0 beam-16 search seeded from the descended entry
       val bw = Window.partitionBy(col("qid"))
         .orderBy(col("dd"), col("vec_id"))
-      var state = cur.withColumn("exp", lit(false)).localCheckpoint()
+      var state = cur.withColumn("exp", lit(false)).duckCkpt()
       for (_ <- 1 to 4) {
         val front = state.where(!col("exp"))
           .withColumn("rn", row_number().over(bw))
@@ -369,7 +369,7 @@ object Extras152 {
           .select(col("qid"), col("vec_id"), col("dd"),
             (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
           .unionByName(scored)
-          .localCheckpoint()
+          .duckCkpt()
       }
       state.where(col("vec_id") =!= col("qid"))
         .withColumn("rank", row_number().over(

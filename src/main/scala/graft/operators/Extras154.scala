@@ -44,18 +44,18 @@ object Extras154 {
     "q_graph_bowtie" -> ((s, d) => {
       val edges = Extras138.directedEdges(s, d)
         .where(col("src") % 3 =!= 1 && col("dst") % 5 =!= 2)
-        .localCheckpoint()
+        .duckCkpt()
       val nodes = edges.select(col("src").as("u"))
         .unionByName(edges.select(col("dst").as("u"))).distinct()
-        .localCheckpoint()
+        .duckCkpt()
       var r = edges.select(col("src").as("s"), col("dst").as("t"))
-        .localCheckpoint()
+        .duckCkpt()
       var n = r.count()
       var grown = true
       while (grown) {
         val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
           .select(col("a.s").as("s"), col("b.t").as("t"))
-        val nr = r.unionByName(r2).distinct().localCheckpoint()
+        val nr = r.unionByName(r2).distinct().duckCkpt()
         val nn = nr.count()
         grown = nn != n
         n = nn
@@ -68,7 +68,7 @@ object Extras154 {
           Seq("u"), "left")
         .select(col("u"),
           least(col("u"), coalesce(col("mv"), col("u"))).as("scc_id"))
-        .localCheckpoint()
+        .duckCkpt()
       // giant SCC: max member count, ties to the SMALLER scc_id
       val giant = lbl.groupBy(col("scc_id")).agg(count(lit(1)).as("c"))
         .agg(max(struct(col("c"), (-col("scc_id")).as("nid"))).as("m"))
@@ -112,9 +112,9 @@ object Extras154 {
       val und = Extras11.undirectedEdges(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       def bfs(seed: DataFrame): DataFrame = {
-        var res = seed.select(col("u"), lit(0).as("h")).localCheckpoint()
+        var res = seed.select(col("u"), lit(0).as("h")).duckCkpt()
         var frontier = res
         var rounds = 0
         var more = frontier.count() > 0
@@ -124,12 +124,12 @@ object Extras154 {
             .select(col("dst").as("u")).distinct()
             .join(res, Seq("u"), "left_anti")
             .select(col("u"), lit(rounds).as("h"))
-            .localCheckpoint()
+            .duckCkpt()
           res = res.unionByName(next)
           frontier = next
           more = next.count() > 0
         }
-        res.localCheckpoint()
+        res.duckCkpt()
       }
       val u0 = e.agg(min(col("src")).as("u"))
       val m1 = bfs(u0)

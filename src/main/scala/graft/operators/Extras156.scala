@@ -37,7 +37,7 @@ object Extras156 {
     // (mutual, asym, null-dyad) signature. Triples with no edges are
     // counted arithmetically (C(n,3) − classified).
     "q_graph_triad_census" -> ((s, d) => {
-      val e = Extras138.directedEdges(s, d).localCheckpoint()
+      val e = Extras138.directedEdges(s, d).duckCkpt()
       val nodes = e.select(col("src").as("u"))
         .unionByName(e.select(col("dst").as("u"))).distinct()
       // dyad flags on unordered support pairs (u < v)
@@ -47,7 +47,7 @@ object Extras156 {
           (col("src") > col("dst")).cast("long").as("bwd"))
         .groupBy(col("u"), col("v"))
         .agg(max(col("fwd")).as("f"), max(col("bwd")).as("b"))
-        .localCheckpoint()
+        .duckCkpt()
       // Batagelj-Mrvar shape: enumerate only triples with ≥2 non-null
       // dyads (wedges — two dyads sharing a node, Σdeg² over the
       // SUPPORT graph); the one-dyad and null classes arrive
@@ -91,7 +91,7 @@ object Extras156 {
             + " + (b4+b5 - 2*b4*b5)").as("a"))
         .groupBy(col("code"), col("m"), col("a"))
         .agg(count(lit(1)).as("n_triads"))
-        .localCheckpoint() // reread by the arithmetic rows
+        .duckCkpt() // reread by the arithmetic rows
       // arithmetic classes: each dyad sits in (n−2) triples, of which
       // the wedge-classified ones are subtracted dyad-wise
       val dy = df.agg(
@@ -161,7 +161,7 @@ object Extras156 {
       val base = Tables.lineitem(s, d)
         .select(dec(col("l_quantity")).cast("long").as("x"),
           (dec(col("l_extendedprice")) * 100).cast("long").as("yy"))
-        .localCheckpoint() // three folds share the scan
+        .duckCkpt() // three folds share the scan
       val n = base.agg(count(lit(1)).as("n"))
       def thr(c: String, p: Int): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))

@@ -76,7 +76,7 @@ object Extras157 {
         .select(col("dow"), col("v").as("med"))
       var rem = daily.join(broadcast(med), "dow")
         .select(col("dt"), col("v"), (col("v") - col("med")).as("r"))
-        .localCheckpoint()
+        .duckCkpt()
       val picks = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (rd <- 1 to 3) {
         val tot = rem.agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
@@ -88,10 +88,10 @@ object Extras157 {
           .where(col("rn") === 1)
           .select(lit(rd.toLong).as("round"), col("dt"), col("v"),
             col("r"), col("dev_num"), col("n"))
-          .localCheckpoint()
+          .duckCkpt()
         picks += top
         rem = rem.join(top.select(col("dt")), Seq("dt"), "left_anti")
-          .localCheckpoint()
+          .duckCkpt()
       }
       picks.reduce(_ unionByName _).orderBy(col("round"))
     }),
@@ -104,7 +104,7 @@ object Extras157 {
         .select(col("v"), col("tp"), col("fp"), col("n1"), col("n0"),
           (col("tp") * col("n0") - col("fp") * col("n1")).as("jn"),
           (col("fp") + lit(5) * (col("n1") - col("tp"))).as("cost"))
-        .localCheckpoint() // two argmax passes share the spine
+        .duckCkpt() // two argmax passes share the spine
       val j = th.withColumn("rn", row_number().over(
           Window.orderBy(col("jn").desc, col("v"))))
         .where(col("rn") === 1)

@@ -82,7 +82,7 @@ object Extras158 {
         .crossJoin(broadcast(qrow))
         .select(col("vec_id"), dot(col("ve"), col("qe")).as("dp"),
           d2(col("ve"), col("qe")).as("l2"))
-        .localCheckpoint() // both rankings read it
+        .duckCkpt() // both rankings read it
       val ra = scored
         .withColumn("pa", row_number().over(
           Window.orderBy(col("dp").desc, col("vec_id"))).cast("long"))

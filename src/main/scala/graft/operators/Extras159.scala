@@ -46,11 +46,11 @@ object Extras159 {
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
       val z0 = daily.crossJoin(broadcast(tot))
         .select(col("dt"), (col("v") - expr("sv div n")).as("z"))
-        .localCheckpoint() // YW sums AND both lag passes
+        .duckCkpt() // YW sums AND both lag passes
       // stage 1: Yule-Walker AR(2) off exact lag-covariance ratios
       val zl = z0.withColumn("z1", lag(col("z"), 1).over(w))
         .withColumn("z2", lag(col("z"), 2).over(w))
-        .localCheckpoint() // YW sums AND the residual pass
+        .duckCkpt() // YW sums AND the residual pass
       val yw = zl.agg(count(lit(1)).as("n_days"),
         sum(col("z").cast(Big) * col("z").cast(Big)).as("den"),
         sum(when(col("z1").isNotNull,

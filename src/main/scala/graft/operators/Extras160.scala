@@ -57,7 +57,7 @@ object Extras160 {
             * 1000000).cast("long").as("q6"))
         .withColumn("sub", expr("(dim - 1) div 4"))
         .repartition(P, col("vec_id")) // 1-partition expansion trap
-        .localCheckpoint()             // shared-subtree rule
+        .duckCkpt()             // shared-subtree rule
       val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
         .select(col("nv"), when(col("nv") <= 512, 8L)
           .when(col("nv") <= 1024, 16L)
@@ -89,7 +89,7 @@ object Extras160 {
             col("cell") === col("ccid") && col("dim") === col("cdim"))
           .select(col("vec_id"), col("dim"), col("sub"),
             (col("q6") - col("c6")).as("r6"))
-          .localCheckpoint() // seed book, THREE encodes, two M-steps
+          .duckCkpt() // seed book, THREE encodes, two M-steps
         val rcb0 = resid
           .crossJoin(broadcast(nc.select(col("c"), col("s"))))
           .where(col("vec_id") >= col("c")
@@ -97,12 +97,12 @@ object Extras160 {
             && expr("(vec_id - c) div s") < 256)
           .select(expr("(vec_id - c) div s").as("cw"), col("dim"),
             col("r6").as("rc6"))
-          .localCheckpoint()
+          .duckCkpt()
         val rsub = resid.groupBy(col("vec_id"), col("sub"))
           .agg(sort_array(collect_list(struct(col("dim"), col("r6"))))
             .as("rv"))
           .repartition(P, col("vec_id")) // AQE would coalesce to 1
-          .localCheckpoint()
+          .duckCkpt()
         def encodeAgainst(book: DataFrame): DataFrame = {
           val cbSub = book
             .withColumn("sub", expr("(dim - 1) div 4"))
@@ -137,7 +137,7 @@ object Extras160 {
           book.join(updI, Seq("cw", "dim"), "left")
             .select(col("cw"), col("dim"),
               coalesce(col("rc6t"), col("rc6")).as("rc6"))
-            .localCheckpoint() // next round's encode AND fallback
+            .duckCkpt() // next round's encode AND fallback
         }
         lloydStep(lloydStep(rcb0)).write.parquet(s"$dest/rcb2")
         encodeAgainst(s.read.parquet(s"$dest/rcb2"))
@@ -228,13 +228,13 @@ object Extras160 {
         s"""aggregate(zip_with($a, $b,
               (x, y) -> (x.q6 - y.q6) * (x.q6 - y.q6)),
               CAST(0 AS BIGINT), (s, v) -> s + v)""")
-      val vpack = s.read.parquet(s"$idxDir/vpack").localCheckpoint()
+      val vpack = s.read.parquet(s"$idxDir/vpack").duckCkpt()
       val edges = s.read.parquet(s"$idxDir/edges")
         .repartition(P, col("src"))
-        .localCheckpoint()
+        .duckCkpt()
       val qp = vpack.where(col("vec_id").between(0, 3))
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-        .localCheckpoint()
+        .duckCkpt()
       val bw = Window.partitionBy(col("qid"))
         .orderBy(col("dd"), col("vec_id"))
       // entry = the single nearest upper-layer node per query (the
@@ -249,7 +249,7 @@ object Extras160 {
         .where(col("rn") === 1)
         .select(col("qid"), col("vec_id"), col("dd"),
           lit(false).as("exp"))
-        .localCheckpoint()
+        .duckCkpt()
       // best-first rounds, ONE checkpoint + ONE bounded driver read
       // per round: the frontier is BY CONSTRUCTION <= 1 row per query
       // (<= 4 rows — the playbook bounded-read rule), so it collects
@@ -303,7 +303,7 @@ object Extras160 {
             .select(col("qid"), col("vec_id"), col("dd"),
               (col("exp") || coalesce(col("f"), lit(false))).as("exp"))
             .unionByName(scored)
-            .localCheckpoint()
+            .duckCkpt()
         }
         t += 1
       }

@@ -77,7 +77,7 @@ object Extras17 {
                     col("r.etype").as("etype"), col("r.cents").as("cents"),
                     col("n_events"))
             }
-            tgt = Some(merged.localCheckpoint())
+            tgt = Some(merged.duckCkpt())
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -101,14 +101,14 @@ object Extras17 {
       val und = Extras11.undirectedEdges(s, d)
       var e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       for (_ <- 1 to 3) {
         val keep = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("c"))
           .where(col("c") >= 2).select(col("u"))
         e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
           .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       e.groupBy(col("src").as("u")).agg(count(lit(1)).as("degree"))
         .orderBy("u")

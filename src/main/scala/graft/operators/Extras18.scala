@@ -55,7 +55,7 @@ object Extras18 {
     // 2·tri/(deg·(deg−1)) is one IEEE division of agreed integers.
     // Join-shaped on the shared graph; nodes with deg < 2 report cc = 0.
     "q_graph_cluster_coeff" -> ((s, d) => {
-      val und = Extras11.undirectedEdges(s, d).localCheckpoint()
+      val und = Extras11.undirectedEdges(s, d).duckCkpt()
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))

@@ -125,7 +125,7 @@ object Extras22 {
     // community doubles is accumulation-order-dependent across engines
     // (the chi2 rule); consumers sum the audited contributions.
     "q_graph_modularity" -> ((s, d) => {
-      val und = Extras11.undirectedEdges(s, d).localCheckpoint()
+      val und = Extras11.undirectedEdges(s, d).duckCkpt()
       val comp = Components.minLabel(und)
         .select(col("id").as("u"), col("lbl").as("component"))
       val m = und.agg(count(lit(1)).as("m"))
@@ -185,7 +185,7 @@ object Extras22 {
         count(col("_corrupt_record")).as("n_corrupt"),
         sum(when(col("_corrupt_record").isNull,
           (col("o_totalprice") * 100).cast("long"))).as("good_cents"))
-      val materialized = out.localCheckpoint()
+      val materialized = out.duckCkpt()
       df.unpersist()
       materialized
     }),

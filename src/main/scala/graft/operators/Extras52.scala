@@ -53,10 +53,10 @@ object Extras52 {
         // cand feeds both n_cand and the tp semi join; exact feeds both
         // n_exact and tp — one materialization each (round-11), else
         // the banding/shingle kernels re-run per plan reference.
-        .localCheckpoint()
+        .duckCkpt()
       val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+        .duckCkpt()
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
       val tp = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")

@@ -109,7 +109,7 @@ object Extras55 {
       // config) — without the checkpoint the shingle kernel re-runs
       // per reference.
       val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        .localCheckpoint()
+        .duckCkpt()
       def candidates(nBands: Int, rPer: Int): DataFrame = {
         val bandStructs = (0 until nBands).map(b =>
           struct(lit(b).as("b"),
@@ -126,7 +126,7 @@ object Extras55 {
       }
       val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+        .duckCkpt()
       def eval(tag: String, nBands: Int, rPer: Int): DataFrame = {
         val cand = candidates(nBands, rPer)
         val nc = cand.agg(count(lit(1)).as("n_cand"))

@@ -73,7 +73,7 @@ object Extras66 {
         .distinct()
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+        .duckCkpt()
       var r = edges.select(col("src").as("u")).distinct()
         .select(col("u"), lit(1000000L).as("sc"))
       for (_ <- 1 to EigenIters) {
@@ -87,7 +87,7 @@ object Extras66 {
           .select(col("dst").as("u"),
             expr("""CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 div mx
                     AS BIGINT)""").as("sc"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       r.orderBy("u")
     }),
@@ -121,7 +121,7 @@ object Extras66 {
       val cm = covUp.unionByName(
           covUp.where(col("i") =!= col("j"))
             .select(col("j").as("i"), col("i").as("j"), col("cv")))
-        .localCheckpoint()
+        .duckCkpt()
       var vv = cm.select(col("i")).distinct()
         .select(col("i"), lit(1000000L).as("lv"))
       for (_ <- 1 to Pc1Iters) {
@@ -140,7 +140,7 @@ object Extras66 {
                      AS BIGINT)
                    * ((CAST(abs(raw) AS DECIMAL(38,0)) * 1000000)
                       div mx) AS BIGINT)""").as("lv"))
-          .localCheckpoint()
+          .duckCkpt()
       }
       vv.select(col("i").as("dim"), col("lv").as("loading_micro"))
         .orderBy("dim")

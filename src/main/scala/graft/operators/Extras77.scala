@@ -204,7 +204,7 @@ object Extras77 {
     // profile. Join-shaped exactly like q_graph_triangles — bounded by
     // Σdeg² on the sampled user graph.
     "q_graph_edge_support" -> ((s, d) => {
-      val und = Extras11.undirectedEdges(s, d).localCheckpoint()
+      val und = Extras11.undirectedEdges(s, d).duckCkpt()
       val tri = und.as("e1")
         .join(und.as("e2"), col("e1.b") === col("e2.a"))
         .join(und.as("e3"),

@@ -55,7 +55,7 @@ object Extras84 {
         .withColumn("mp",
           least(lit(0L), coalesce(min(col("s")).over(wPrev), lit(0L))))
         .withColumn("ph", col("s") - col("mp"))
-        .localCheckpoint()
+        .duckCkpt()
       val top = sp.agg(max(col("ph")).as("best_cents"))
       val endRow = sp.crossJoin(broadcast(top))
         .where(col("ph") === col("best_cents"))

@@ -125,11 +125,11 @@ object Extras85 {
     // testdata. Each survivor set is localCheckpoint'd so lineage
     // stays one round deep.
     "q_graph_ktruss" -> ((s, d) => {
-      var edges = Extras11.undirectedEdges(s, d).localCheckpoint()
+      var edges = Extras11.undirectedEdges(s, d).duckCkpt()
       var rounds = Seq(edges.agg(count(lit(1)).as("n_edges"))
         .select(lit(0L).as("peel_round"), col("n_edges")))
       for (r <- 1 to 3) {
-        edges = peelRound(edges).localCheckpoint()
+        edges = peelRound(edges).duckCkpt()
         rounds = rounds :+ edges.agg(count(lit(1)).as("n_edges"))
           .select(lit(r.toLong).as("peel_round"), col("n_edges"))
       }

@@ -43,7 +43,7 @@ object Extras96 {
   /** One row holding exact C (concordant) and D (discordant) pair
     * counts off the bounded cell self-join, plus N and Σ row-totals². */
   private def concordance(s: SparkSession, d: String): DataFrame = {
-    val c = cells(s, d).localCheckpoint()
+    val c = cells(s, d).duckCkpt()
     val pairs = c.as("a")
       .join(broadcast(c.as("b")), col("b.xi") > col("a.xi"))
       .agg(
@@ -104,7 +104,7 @@ object Extras96 {
     "q_agg_gk_lambda" -> ((s, d) => {
       val c = Tables.documents(s, d)
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .duckCkpt()
       val rowMax = c.groupBy(col("lang")).agg(max(col("n")).as("mx"))
         .agg(sum(col("mx")).as("sum_row_max"))
       val colMax = c.groupBy(col("source")).agg(sum(col("n")).as("cj"))

@@ -63,7 +63,7 @@ object Extras99 {
           (a, b) => concat_ws(" ", a, b))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val ff = wc.groupBy(col("c")).agg(count(lit(1)).as("nr"))
-        .localCheckpoint()
+        .duckCkpt()
       ff.as("a")
         .join(broadcast(ff.as("b")), col("b.c") === col("a.c") + 1)
         .where(col("a.c") <= 9)
@@ -133,7 +133,7 @@ object Extras99 {
       val thr = ks.crossJoin(broadcast(bounds))
         .select(col("k"),
           (col("lo") + expr("(hi - lo) * k div 20")).as("thr"))
-        .localCheckpoint()
+        .duckCkpt()
       val vk = types.join(broadcast(thr), col("md") <= col("thr"))
         .groupBy(col("k")).agg(count(lit(1)).as("v"))
       val nk = perDoc.join(broadcast(thr), col("doc_id") <= col("thr"))

@@ -62,18 +62,31 @@ class DuckCastSpec extends QuerySuiteBase {
     // twin INTERNAL (Pmod-limb or the upper==-1 complement — both
     // bounded < 2^64, the correctly-rounded-on-both-engines range);
     // no RAW operand may reach a bare cast
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Pmod, Subtract}
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod,
+      Subtract}
+    import org.apache.spark.sql.types.{Decimal, DoubleType}
+    // Twin internals are recognized by their FULL structural shape
+    // including the 2^64 / 2^64−1 literals (round-15 ADVICE: an
+    // any-Pmod whitelist would silently exempt a raw operator's own
+    // modulus-bucketing cast from the no-bare-cast assertion).
+    val two64 = Decimal(BigDecimal(2).pow(64))
+    val two64m1 = Decimal(BigDecimal(2).pow(64) - 1)
+    def isTwinInternal(c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = c match {
+      // lo limb: Pmod(u, 2^64)
+      case Pmod(_, Literal(v: Decimal, _), _) => v == two64
+      // upper==−1 branch: (2^64−1) − Pmod(u, 2^64)
+      case Subtract(Literal(v1: Decimal, _),
+          Pmod(_, Literal(v2: Decimal, _), _), _) =>
+        v1 == two64m1 && v2 == two64
+      case _ => false
+    }
     def bareCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
       var bare = 0
       p.foreach(op => op.expressions.foreach(_.foreach {
         case Cast(c, DoubleType, _, _)
             if c.dataType.isInstanceOf[DecimalType] =>
-          c match {
-            case _: Pmod => ()           // twin limb: lo < 2^64
-            case Subtract(_, _: Pmod, _) => () // twin upper==-1 branch
-            case _ => bare += 1
-          }
+          if (!isTwinInternal(c)) bare += 1
         case _ => ()
       }))
       bare

@@ -70,7 +70,8 @@ class FixtureRegistrySpec extends AnyFunSuite {
       s"new non-literal FixtureCache.ensure site(s) $nonLiteral — either " +
         "use a literal name or extend this allowlist AND the registry")
     assert(Seq("gb_lineitem", "gb_orders", "ann_hnsw_idx",
-        "ann_hnsw_div_idx").forall(FixtureCache.registry.contains),
+        "ann_hnsw_div_idx",
+        "ann_hnsw_div_m16_idx").forall(FixtureCache.registry.contains),
       "the parameterized helpers' fixture names must stay registered")
   }
 
@@ -85,7 +86,7 @@ class FixtureRegistrySpec extends AnyFunSuite {
     // names reached through the two parameterized helpers (asserted
     // present in the allowlist test above)
     val parameterized = Set("gb_lineitem", "gb_orders",
-      "ann_hnsw_idx", "ann_hnsw_div_idx")
+      "ann_hnsw_idx", "ann_hnsw_div_idx", "ann_hnsw_div_m16_idx")
     val stale = FixtureCache.registry.keySet -- literals -- parameterized
     assert(stale.isEmpty,
       s"registry names with no FixtureCache.ensure call site: $stale")
