@@ -11,6 +11,33 @@ import graft.{FixtureCache, Tables}
 object Extras37 {
   import graft.Det._
 
+  /** The persisted 16-hash MinHash signature store (doc_id, mh0..mh15):
+    * the dedup family's ingest artifact (see q_llm_sig_store's contract
+    * note — built once per corpus snapshot, content-stamped, every
+    * downstream near-dup query reads signatures instead of re-shingling).
+    * Shared since round 16 by the banding studies (q_llm_lsh_eval,
+    * q_llm_banding_tradeoff), which previously re-derived the identical
+    * signature table inline per key: same universal family, same md5-60
+    * hash, so the fixture bytes are bit-identical to the inline build
+    * (the q_llm_sig_store oracle recomputes the mins from raw text —
+    * a stale or corrupted store fails its hash compare loudly). */
+  private[operators] def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val dir = FixtureCache.ensure("minhash_sigs",
+      Seq(s"$d/documents.parquet"),
+      "16-min universal family ((2j+1)h + 12345j) mod p over md5-60 v1") {
+      dest =>
+        val p = 2147483647L
+        val hm = LlmOps.shingleTrips(s, d)
+          .select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
+        val minCols = (0 until 16).map(j =>
+          min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p)
+            .as(s"mh$j"))
+        hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+          .write.parquet(dest)
+    }
+    s.read.parquet(dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MINHASH SIGNATURE STORE — the dedup family's ingest artifact made
@@ -22,22 +49,8 @@ object Extras37 {
     // signatures instead of re-shingling 100 TB. The oracle recomputes
     // the identical universal-family mins from raw text, so a stale or
     // corrupted store FAILS the hash compare.
-    "q_llm_sig_store" -> ((s, d) => {
-      val dir = FixtureCache.ensure("minhash_sigs",
-        Seq(s"$d/documents.parquet"),
-        "16-min universal family ((2j+1)h + 12345j) mod p over md5-60 v1") {
-        dest =>
-          val p = 2147483647L
-          val hm = LlmOps.shingleTrips(s, d)
-            .select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
-          val minCols = (0 until 16).map(j =>
-            min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p)
-              .as(s"mh$j"))
-          hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-            .write.parquet(dest)
-      }
-      s.read.parquet(dir).orderBy("doc_id")
-    }),
+    "q_llm_sig_store" -> ((s, d) =>
+      minhashSigs(s, d).orderBy("doc_id")),
 
     // EQUI-DEPTH HISTOGRAM — decile boundaries of the price distribution
     // with exact integer ranks ((k·n+9) div 10 — the len_quantiles

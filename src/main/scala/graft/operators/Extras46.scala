@@ -84,7 +84,11 @@ object Extras46 {
     // are exact integers via a posting-list join on the word key; the
     // three ratios are one shared IEEE chain.
     "q_llm_rouge_overlap" -> ((s, d) => {
-      val pairs = LlmOps.queries("q_llm_dedup_near")(s, d)
+      // Candidate pairs via the FixtureCache posting layout (the
+      // keep/clusters convention — identical to the inline kernel,
+      // Extras10Spec) and WITHOUT the near query's presentation sort,
+      // which the join would immediately destroy.
+      val pairs = LlmOps.nearDupPairs(s, d, cachedTrips = true)
         .select(col("doc_a"), col("doc_b"))
       val words = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

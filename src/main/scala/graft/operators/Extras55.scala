@@ -98,18 +98,16 @@ object Extras55 {
     // S-curve trade measured, not argued. All counts exact; both
     // configs share one signature pass.
     "q_llm_banding_tradeoff" -> ((s, d) => {
-      val p = 2147483647L
-      val rows = LlmOps.shingleTrips(s, d)
-      val hm = rows.select(col("doc_id"), (md5long(col("s0")) % p).as("h"))
-      val minCols = (0 until 16).map(j =>
-        min((lit(2L * j + 1) * col("h") + lit(12345L * j)) % p).as(s"mh$j"))
-      // ONE materialization each for the signature table and the exact
-      // truth (round-11): the plan references sig twice (two band
-      // configs) and the near-dup truth four times (tp + n_exact per
-      // config) — without the checkpoint the shingle kernel re-runs
-      // per reference.
-      val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        .duckCkpt()
+      // Signatures from the persisted signature store (the
+      // q_llm_sig_store ingest artifact, Extras37.minhashSigs) instead
+      // of an inline re-shingle — identical bytes by construction (same
+      // universal family over md5-60); the two band configs re-scan the
+      // small fixture parquet, which is cheaper than a checkpoint job.
+      // The exact truth keeps its checkpoint (referenced four times:
+      // tp + n_exact per config) but rides the FixtureCache posting
+      // layout (the keep/clusters convention; Extras10Spec pins
+      // cached == inline).
+      val sig = Extras37.minhashSigs(s, d)
       def candidates(nBands: Int, rPer: Int): DataFrame = {
         val bandStructs = (0 until nBands).map(b =>
           struct(lit(b).as("b"),
@@ -124,7 +122,7 @@ object Extras55 {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
       }
-      val exact = LlmOps.queries("q_llm_dedup_near")(s, d)
+      val exact = LlmOps.nearDupPairs(s, d, cachedTrips = true)
         .select(col("doc_a"), col("doc_b"))
         .duckCkpt()
       def eval(tag: String, nBands: Int, rPer: Int): DataFrame = {

@@ -110,8 +110,8 @@ object LlmOps {
     * the FixtureCache posting layout over the inline kernel — results
     * are identical (Extras10Spec asserts it); q_llm_dedup_near keeps the
     * inline path so the kernel cost stays measured. */
-  private def nearDupPairs(s: SparkSession, d: String,
-                           cachedTrips: Boolean = false): DataFrame = {
+  private[operators] def nearDupPairs(s: SparkSession, d: String,
+                                      cachedTrips: Boolean = false): DataFrame = {
     import s.implicits._
     // ONE corpus pass (shingleTrips): every shingle row carries its doc's
     // distinct-shingle count, so set sizes ride along with the
@@ -151,22 +151,64 @@ object LlmOps {
   private[operators] def postingPairs(s: SparkSession,
                                       trips: DataFrame): DataFrame = {
     import s.implicits._
-    trips.as[(Long, Long, Int)]
-      .groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        val v = it.toArray.sortBy(_._1)
-        if (v.length < 2) Iterator.empty
-        else for {
-          i <- v.indices.iterator
-          j <- (i + 1 until v.length).iterator
-          // Guard against (doc, doc) self-pairs: two distinct shingles
-          // of the same doc colliding to one 60-bit key would put the
-          // doc twice in this posting list, while both oracles exclude
-          // self-pairs via a.doc_id < b.doc_id (round-11 advice).
-          if v(i)._1 != v(j)._1
-        } yield (v(i)._1, v(i)._3, v(j)._1, v(j)._3)
+    val kc = trips.columns(1) // the shingle-key column (positional contract)
+    // Round-16: the enumeration stage must NOT ride a byte-coalesced AQE
+    // read. AQE sizes post-shuffle partitions by BYTES — the right model
+    // for byte-proportional operators — but this kernel emits C(m,2)
+    // rows per posting list, superlinear per input byte, so byte-based
+    // coalescing collapsed the whole pair enumeration onto ONE core at
+    // bench scale (measured: the kernel was 2.5-3.2 s of every dedup
+    // key). An explicit hash repartition at the session's core
+    // parallelism (cluster-proportional at any scale; AQE honors a
+    // user-specified partition count) keeps the same single shuffle the
+    // typed groupByKey paid, and the sorted-run iterator reproduces the
+    // per-group doc ordering exactly. A degenerate super-hot shingle
+    // still serializes its own C(m,2) in one task in ANY exact
+    // formulation — the 100 TB answer for that corpus shape stays the
+    // MinHash-LSH family (see the nearDupPairs scale note).
+    val p = s.sparkContext.defaultParallelism
+    trips.repartition(p, col(kc))
+      .sortWithinPartitions(col(kc), col(trips.columns(0)))
+      .as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(Long, Int, Long, Int)] {
+          private var out: Iterator[(Long, Int, Long, Int)] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && buf.hasNext) {
+              val key = buf.head._2
+              val v = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+              while (buf.hasNext && buf.head._2 == key) {
+                val r = buf.next(); v += ((r._1, r._3))
+              }
+              if (v.length >= 2)
+                // rows arrive doc-sorted within the run (the sort above),
+                // so pairs come out (lo, hi)-normalized as before.
+                out = (for {
+                  i <- v.indices.iterator
+                  j <- (i + 1 until v.length).iterator
+                  // Guard against (doc, doc) self-pairs: two distinct
+                  // shingles of the same doc colliding to one 60-bit key
+                  // would put the doc twice in this posting list, while
+                  // both oracles exclude self-pairs via
+                  // a.doc_id < b.doc_id (round-11 advice).
+                  if v(i)._1 != v(j)._1
+                } yield (v(i)._1, v(i)._2, v(j)._1, v(j)._2))
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (Long, Int, Long, Int) = { advance(); out.next() }
+        }
       }
       .toDF("doc_a", "na", "doc_b", "nb")
+      // Same story for the pair-count merge: left to the aggregate's own
+      // exchange, AQE byte-coalescing ran the ~1.1M-distinct-pair merge
+      // on one core (measured ~1.4 s of the kernel's 2.1 s). An explicit
+      // hash repartition on the group key SATISFIES the aggregate's
+      // required distribution, so this is the same single shuffle moved
+      // under user control at core parallelism — not an extra exchange
+      // (partial aggregation would have compressed 1.27M → 1.13M rows
+      // here, immaterial next to a 32× parallel merge).
+      .repartition(p, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       // na/nb are constant within a (doc_a, doc_b) group; min() is just
       // the order-insensitive way to pick the constant up.
