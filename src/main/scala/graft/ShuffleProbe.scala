@@ -22,8 +22,18 @@ object ShuffleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (parts <- Seq(32, 16, 8, 4); name <- names) {
+    // Since round 16 the sweep covers the low end too: withCappedState
+    // caps at min(conf, 8), so 8/4/2/1 are the reachable settings and
+    // the fixed-per-partition commit-wall hypothesis is testable down
+    // to a single state partition.
+    for (parts <- Seq(8, 4, 2, 1); name <- names) {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // A/B lever for the RocksDB per-put bookkeeping (round 16): row
+      // tracking does a point-get before every put to keep numRowsTotal
+      // exact — pure metric, no result impact.
+      sys.env.get("SPARK_GRAFT_ROCKSDB_TRACK").foreach(v =>
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", v))
       // warm + measure second run (state dirs differ per start; the
       // first run also pays file-listing)
       val times = (1 to 2).map { _ =>

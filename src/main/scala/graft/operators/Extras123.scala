@@ -96,12 +96,34 @@ object Extras123 {
     // unigram distribution: encoding damage or templating collapses
     // it, mixed scripts inflate it.
     "q_llm_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      // Round 16 (the shingleTrips precedent): the declarative
+      // transform(sequence)+substring form is an interpreted HOF whose
+      // substring re-seeks the string per index — O(n²) per document —
+      // and it shuffles one row per character. This per-partition
+      // kernel walks each document's CODE POINTS once (the same unit
+      // substring(text,i,1) and DuckDB substr index — so the emitted
+      // (source, ch) multiset is identical) and pre-counts locally, so
+      // only (source, ch, cnt) partials reach the exchange.
       val chars = Tables.documents(s, d)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, length(text)), " +
-            "i -> substring(text, i, 1))")).as("ch"))
+        .select(col("source"), col("text")).as[(String, String)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[(String, String), Long]
+          it.foreach { case (src, text) =>
+            var i = 0
+            while (i < text.length) {
+              val cp = text.codePointAt(i)
+              val ch = new String(Character.toChars(cp))
+              val k = (src, ch)
+              m.update(k, m.getOrElse(k, 0L) + 1L)
+              i += Character.charCount(cp)
+            }
+          }
+          m.iterator.map { case ((src, ch), n) => (src, ch, n) }
+        }.toDF("source", "ch", "cnt")
         .groupBy(col("source"), col("ch"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("cnt")).as("c"))
       val per = chars.groupBy(col("source"))
         .agg(sum(col("c")).as("n"), count(lit(1)).as("alphabet"))
       chars.join(broadcast(per), "source")

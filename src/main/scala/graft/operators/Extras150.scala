@@ -53,7 +53,13 @@ object Extras150 {
       val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       for (k <- 1L to 4L) {
         var e = full
-        for (_ <- 1 to 3) {
+        // k=1 peels are identities by construction — every src present
+        // in e has degree ≥ 1, so keep = all nodes and both semi joins
+        // pass every row (round 16: three checkpointed no-op rounds
+        // removed; the k=1 row still reports the full graph exactly as
+        // the 3-round contract states, because the rounds cannot
+        // remove anything at threshold 1).
+        if (k > 1L) for (_ <- 1 to 3) {
           val keep = e.groupBy(col("src").as("u"))
             .agg(count(lit(1)).as("c"))
             .where(col("c") >= k).select(col("u"))

@@ -163,7 +163,11 @@ object Extras156 {
           (dec(col("l_extendedprice")) * 100).cast("long").as("yy"))
         .duckCkpt() // three folds share the scan
       val n = base.agg(count(lit(1)).as("n"))
-      def thr(c: String, p: Int): DataFrame = {
+      // Round 16: the .9 and .1 thresholds of one column share a single
+      // cum-count pass (was: one value-spine window job per (column,
+      // percentile) — four passes; the conditional mins below select
+      // exactly the rows the per-p `where cum*10 >= n*p` kept).
+      def thr(c: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
@@ -172,13 +176,13 @@ object Extras156 {
           .withColumn("cum", sum(col("cnt")).over(w))
           .crossJoin(broadcast(n))
           // ceil(p*n/10) = (p*n + 9) div 10
-          .where(col("cum") * 10 >= col("n") * p)
-          .agg(min(col(c)).as(s"q$c$p"))
+          .agg(min(when(col("cum") * 10 >= col("n") * 9, col(c)))
+              .as(s"q${c}9"),
+            min(when(col("cum") * 10 >= col("n") * 1, col(c)))
+              .as(s"q${c}1"))
       }
-      val t = n.crossJoin(broadcast(thr("x", 9)))
-        .crossJoin(broadcast(thr("yy", 9)))
-        .crossJoin(broadcast(thr("x", 1)))
-        .crossJoin(broadcast(thr("yy", 1)))
+      val t = n.crossJoin(broadcast(thr("x")))
+        .crossJoin(broadcast(thr("yy")))
       val c = base.crossJoin(broadcast(t))
         .agg(max(col("n")).as("n"),
           max(col("qx9")).as("qx9"), max(col("qyy9")).as("qy9"),

@@ -123,16 +123,22 @@ object Extras16 {
     "q_agg_weighted_median" -> ((s, d) => {
       val ord = Window.partitionBy(col("rf"))
         .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
-      val all = Window.partitionBy(col("rf"))
-      Tables.lineitem(s, d)
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"),
           dec(col("l_extendedprice")).as("p"),
           dec(col("l_quantity")).as("w"),
           col("l_orderkey"), col("l_linenumber"))
+      // Round 16: totw/nr were unbounded whole-partition window passes
+      // (a second full buffer-and-scan of every rf partition after the
+      // cumulative sort). A 3-row grouped aggregate broadcast back in
+      // computes the identical per-rf constants with a partial+final
+      // HashAggregate over a pruned (rf, w) projection.
+      val tots = base.groupBy(col("rf"))
+        .agg(sum(col("w")).as("totw"), count(lit(1)).as("nr"))
+      base
         .withColumn("cumw", sum(col("w"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("totw", sum(col("w")).over(all))
-        .withColumn("nr", count(lit(1)).over(all))
+        .join(broadcast(tots), "rf")
         .where(col("cumw") * 2 >= col("totw"))
         .groupBy(col("rf"))
         .agg(min(col("p")).cast("double").as("w_median"),

@@ -85,12 +85,14 @@ object Extras20 {
     // support threshold, so the result is non-empty and deterministic
     // at every SF.
     "q_agg_itemsets" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-      items.as("a")
-        .join(items.as("b"), col("a.ok") === col("b.ok")
-          && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      // Round 16: the distinct + self-equi-join (3 exchanges + a
+      // sort-merge, with the pair agg's read byte-coalesced onto one
+      // core) became the shared in-group pair kernel — ONE basket
+      // shuffle, the (order, part) dedup fused into the sorted run,
+      // identical (lo, hi) pair multiset (PairKernel's doc).
+      PairKernel.groupedPairs(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey")))
+        .select(col("a").as("pa"), col("b").as("pb"))
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pa"), col("pb"))

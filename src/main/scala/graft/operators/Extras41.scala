@@ -197,9 +197,11 @@ object Extras41 {
         .distinct()
       val marg = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
       val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
-      ob.as("x").join(ob.as("y"),
-          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      // Round 16: self-equi-join on ok → shared in-group pair kernel
+      // (PairKernel): one basket shuffle, no sort-merge, parallel pair
+      // merge; identical (lo, hi) pair multiset by the kernel's doc.
+      PairKernel.groupedPairsStr(ob)
+        .groupBy(col("a").as("b1"), col("b").as("b2"))
         .agg(count(lit(1)).as("n_ab"))
         .join(broadcast(marg.withColumnRenamed("b", "b1")
           .withColumnRenamed("nb", "na")), "b1")

@@ -107,9 +107,11 @@ object Extras56 {
         .distinct()
       val marg = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
       val tot = ob.agg(countDistinct(col("ok")).as("n_orders"))
-      val pairs = ob.as("x").join(ob.as("y"),
-          col("x.ok") === col("y.ok") && col("x.b") =!= col("y.b"))
-        .groupBy(col("x.b").as("ante"), col("y.b").as("cons"))
+      // Round 16: self-equi-join on ok → shared in-group pair kernel,
+      // both directions (the directed-rules variant) — identical pair
+      // multiset to the x.b =!= y.b join (PairKernel's doc).
+      val pairs = PairKernel.groupedPairsStr(ob, both = true)
+        .groupBy(col("a").as("ante"), col("b").as("cons"))
         .agg(count(lit(1)).as("n_ab"))
       pairs
         .join(broadcast(marg.select(col("b").as("ante"),

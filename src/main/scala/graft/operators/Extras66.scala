@@ -121,28 +121,38 @@ object Extras66 {
       val cm = covUp.unionByName(
           covUp.where(col("i") =!= col("j"))
             .select(col("j").as("i"), col("i").as("j"), col("cv")))
-        .duckCkpt()
-      var vv = cm.select(col("i")).distinct()
-        .select(col("i"), lit(1000000L).as("lv"))
+      // Round 16: the 8 max-normalized power-iteration rounds ran as
+      // 8 × (join + agg + 1-row max + checkpoint) scheduler rounds over
+      // a 256-row relation. The matrix is 16×16 BY CONSTRUCTION (first
+      // 16 embedding dims) at ANY corpus size, so this is the
+      // ipf_raking / markov_absorb bounded-driver-matrix shape: collect
+      // the 256 cells once and fold the rounds driver-locally in EXACT
+      // integer arithmetic — BigInt reproduces the DECIMAL(38,0) fold
+      // (|cv·vj| ≤ ~1e24, ×1e6 ≤ ~1e31, both inside 38 digits) and
+      // `div`'s truncating division bit-for-bit; CASE WHEN raw < 0 maps
+      // raw = 0 to +1·0 = 0, exactly signum·(0 div mx). The distributed
+      // fact pass (the covariance aggregate) is unchanged.
+      import s.implicits._
+      val cells = cm.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dims = cells.map(_._1).distinct.sorted
+      var lv: Map[Long, BigInt] =
+        dims.map(_ -> BigInt(1000000L)).toMap
+      val byI = cells.groupBy(_._1)
       for (_ <- 1 to Pc1Iters) {
-        val raw = cm.join(vv.withColumnRenamed("i", "j")
-            .withColumnRenamed("lv", "vj"), "j")
-          .groupBy(col("i"))
-          // cv·vj can reach ~1e18 per term and 16 terms can pass
-          // Long.Max; the oracle folds in HUGEINT, so the Spark fold
-          // must widen to DECIMAL(38,0) BEFORE the first multiply
-          // (round-10 advice — same headroom rule as the ×1e6 step).
-          .agg(sum(col("cv").cast("decimal(38,0)") * col("vj")).as("raw"))
-        val mx = raw.agg(max(abs(col("raw"))).as("mx"))
-        vv = raw.crossJoin(broadcast(mx))
-          .select(col("i"),
-            expr("""CAST(CAST(CASE WHEN raw < 0 THEN -1 ELSE 1 END
-                     AS BIGINT)
-                   * ((CAST(abs(raw) AS DECIMAL(38,0)) * 1000000)
-                      div mx) AS BIGINT)""").as("lv"))
-          .duckCkpt()
+        val raw: Map[Long, BigInt] = byI.map { case (i, cs) =>
+          i -> cs.iterator.map(c => BigInt(c._3) * lv(c._2)).sum
+        }
+        val mx = raw.valuesIterator.map(_.abs).max
+        require(mx.signum > 0,
+          "pc1: degenerate all-zero covariance — refusing to silently " +
+            "null-propagate where the distributed form would")
+        lv = raw.map { case (i, rv) =>
+          i -> (BigInt(rv.signum) * ((rv.abs * 1000000) / mx))
+        }
       }
-      vv.select(col("i").as("dim"), col("lv").as("loading_micro"))
+      dims.toSeq.map(i => (i, lv(i).bigInteger.longValueExact()))
+        .toDF("dim", "loading_micro")
         .orderBy("dim")
     })
   )
