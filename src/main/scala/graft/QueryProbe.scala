@@ -48,6 +48,13 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B lever (round 16): comma-separated k=v session-conf overrides,
+    // e.g. SPARK_GRAFT_PROBE_CONF=spark.sql.adaptive.coalescePartitions.parallelismFirst=true
+    // — lets a probe isolate a conf hypothesis without touching Bench.
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val sep = args.indexOf("--")
     val (warm, timed) =

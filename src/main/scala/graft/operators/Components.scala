@@ -40,7 +40,14 @@ object Components {
   private def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.duckCkpt()
+    else
+      // Lazy on the local path (round 16): every pin is immediately
+      // followed by sumOf's scalar aggregate — THAT action materializes
+      // the round's blocks (exactly as the round-pinning doc above
+      // intended); the eager form paid one extra job per round. The
+      // reliable-checkpoint branch stays eager: a cluster round must be
+      // durable before the loop builds on it.
+      df.duckCkptLazy()
 
   /** @param pairs undirected edges as (a, b) long columns (any names,
     *              positional); returns (id, lbl) with lbl = component min. */

@@ -141,7 +141,10 @@ object Extras10 {
           .select(col("dst").as("u"),
             expr("CAST(150000 + (850000 * contrib) div 1000000 AS BIGINT)")
               .as("rank"))
-          .duckCkpt()
+          // lazy (round 16): the rounds chain linearly into the final
+          // action — each marked checkpoint materializes inside that one
+          // job instead of paying a dedicated job per round.
+          .duckCkptLazy()
       }
       r.orderBy("u")
     }),

@@ -62,7 +62,9 @@ object Extras134 {
             (col("seed") * expr("(150000 * n_nodes) div n_seeds")
               + expr("(850000 * coalesce(c, 0)) div 1000000"))
               .as("rank"))
-          .duckCkpt()
+          // lazy (round 16): the rounds chain linearly into the final
+          // action (see q_graph_pagerank).
+          .duckCkptLazy()
       }
       r.orderBy("u")
     }),

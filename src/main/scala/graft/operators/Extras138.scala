@@ -59,17 +59,21 @@ object Extras138 {
     * scc_id = min over {u} ∪ {v : u ⇝ v ∧ v ⇝ u}. Shared by
     * q_graph_scc and the condensation op (Extras139). */
   private[operators] def sccLabels(s: SparkSession, d: String): DataFrame = {
-    val edges = directedEdges(s, d).duckCkpt()
+    // Lazy checkpoints throughout the loop (round 16): every round is
+    // immediately followed by its own count(), which materializes the
+    // round's blocks — the dedicated eager-checkpoint job per round was
+    // pure scheduler overhead.
+    val edges = directedEdges(s, d).duckCkptLazy()
     val nodes = edges.select(col("src").as("u"))
       .unionByName(edges.select(col("dst").as("u"))).distinct()
     var r = edges.select(col("src").as("s"), col("dst").as("t"))
-      .duckCkpt()
+      .duckCkptLazy()
     var n = r.count()
     var grown = true
     while (grown) {
       val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
         .select(col("a.s").as("s"), col("b.t").as("t"))
-      val nr = r.unionByName(r2).distinct().duckCkpt()
+      val nr = r.unionByName(r2).distinct().duckCkptLazy()
       val nn = nr.count()
       grown = nn != n
       n = nn

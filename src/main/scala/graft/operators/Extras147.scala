@@ -120,9 +120,11 @@ object Extras147 {
     "q_graph_densest" -> ((s, d) => {
       import s.implicits._
       val und = Extras11.undirectedEdges(s, d)
+      // lazy loop checkpoints (round 16): each round's 1-row head()
+      // materializes the round's blocks before `keep` fans out over them.
       var e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .duckCkpt()
+        .duckCkptLazy()
       val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       for (r <- 0L to 5L) {
         // 1-row bounded aggregate per round (≤6 driver reads total)
@@ -137,7 +139,7 @@ object Extras147 {
           e = e.join(keep.withColumnRenamed("u", "src"), Seq("src"), "semi")
             .join(keep.withColumnRenamed("u", "dst"), Seq("dst"), "semi")
             .select(col("src"), col("dst"))
-            .duckCkpt()
+            .duckCkptLazy()
         }
       }
       stats.toSeq.toDF("round", "n_nodes", "n_edges")

@@ -42,20 +42,22 @@ object Extras154 {
     // links (OUT candidates), nodes ≡2 (mod 5) only outgoing (IN
     // candidates) — yielding core/in/out at both graded SFs.
     "q_graph_bowtie" -> ((s, d) => {
+      // Lazy loop checkpoints (round 16, the sccLabels note): each
+      // round's count() materializes its own blocks.
       val edges = Extras138.directedEdges(s, d)
         .where(col("src") % 3 =!= 1 && col("dst") % 5 =!= 2)
-        .duckCkpt()
+        .duckCkptLazy()
       val nodes = edges.select(col("src").as("u"))
         .unionByName(edges.select(col("dst").as("u"))).distinct()
-        .duckCkpt()
+        .duckCkptLazy()
       var r = edges.select(col("src").as("s"), col("dst").as("t"))
-        .duckCkpt()
+        .duckCkptLazy()
       var n = r.count()
       var grown = true
       while (grown) {
         val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
           .select(col("a.s").as("s"), col("b.t").as("t"))
-        val nr = r.unionByName(r2).distinct().duckCkpt()
+        val nr = r.unionByName(r2).distinct().duckCkptLazy()
         val nn = nr.count()
         grown = nn != n
         n = nn
@@ -114,7 +116,9 @@ object Extras154 {
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
         .duckCkpt()
       def bfs(seed: DataFrame): DataFrame = {
-        var res = seed.select(col("u"), lit(0).as("h")).duckCkpt()
+        // Lazy loop checkpoints (round 16): each round's count()
+        // materializes its own blocks.
+        var res = seed.select(col("u"), lit(0).as("h")).duckCkptLazy()
         var frontier = res
         var rounds = 0
         var more = frontier.count() > 0
@@ -124,12 +128,12 @@ object Extras154 {
             .select(col("dst").as("u")).distinct()
             .join(res, Seq("u"), "left_anti")
             .select(col("u"), lit(rounds).as("h"))
-            .duckCkpt()
+            .duckCkptLazy()
           res = res.unionByName(next)
           frontier = next
           more = next.count() > 0
         }
-        res.duckCkpt()
+        res.duckCkptLazy()
       }
       val u0 = e.agg(min(col("src")).as("u"))
       val m1 = bfs(u0)

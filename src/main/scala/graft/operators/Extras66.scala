@@ -87,7 +87,9 @@ object Extras66 {
           .select(col("dst").as("u"),
             expr("""CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 div mx
                     AS BIGINT)""").as("sc"))
-          .duckCkpt()
+          // lazy (round 16): each round's mx-broadcast job materializes
+          // the previous round's blocks; the eager job was redundant.
+          .duckCkptLazy()
       }
       r.orderBy("u")
     }),

@@ -21,5 +21,19 @@ package object operators {
       extends AnyVal {
     def duckCkpt(): DataFrame =
       DuckCast.rewrite(df.sparkSession, df).localCheckpoint()
+
+    /** Lazy twin of duckCkpt for the iterative loops (round 16): the
+      * plan is truncated to a LogicalRDD immediately (identical
+      * lineage-depth-1 semantics and the same pre-checkpoint DuckCast
+      * rewrite), but the RDD materializes inside the NEXT action
+      * instead of its own dedicated job — in every closure/peel loop
+      * that action is the round's own count()/scalar aggregate, so one
+      * scheduler round per iteration disappears. Use ONLY where a
+      * single downstream action follows before the frame fans out;
+      * a frame that self-joins or fans out UNMATERIALIZED would compute
+      * its partitions once per reference inside one job (the eager
+      * form stays the default for shared subtrees). */
+    def duckCkptLazy(): DataFrame =
+      DuckCast.rewrite(df.sparkSession, df).localCheckpoint(eager = false)
   }
 }
