@@ -70,6 +70,10 @@ object Extras138 {
       .duckCkptLazy()
     var n = r.count()
     var grown = true
+    // (Round 16: explicit core-parallelism repartitions on the closure
+    // joins — the two_hop treatment — were A/B'd here and REVERTED:
+    // this closure is chain-shaped and small at bench scale, so the
+    // extra shuffles cost more than the parallelism bought.)
     while (grown) {
       val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
         .select(col("a.s").as("s"), col("b.t").as("t"))

@@ -170,9 +170,21 @@ object Extras35 {
       // per-node-array formulation measured 2× faster still but holds
       // one node's whole Σdeg² candidate set in a single row — a hub
       // memory cliff at 100 TB — and was rejected, see BASELINE.md).
-      val fof = e.as("p").join(e.as("q"), col("p.dst") === col("q.src"))
+      // Round 16: the wedge join's INPUT is tiny (the edge list) but its
+      // OUTPUT is Σdeg² — AQE sizes the join's shuffle reads by input
+      // bytes, so the expansion ran nearly serial. Explicit hash
+      // repartitions at core parallelism on EXACTLY the join keys (dst
+      // probe side, src build side) satisfy the join's required
+      // distribution — same exchange count, expansion now parallel —
+      // and the same pin on the (u,v) dedup keeps the Σdeg²-row distinct
+      // merge parallel (the postingPairs lesson).
+      val p = s.sparkContext.defaultParallelism
+      val fof = e.repartition(p, col("dst")).as("p")
+        .join(e.repartition(p, col("src")).as("q"),
+          col("p.dst") === col("q.src"))
         .select(col("p.src").as("u"), col("q.dst").as("v"))
         .where(col("u") =!= col("v"))
+        .repartition(p, col("u"), col("v"))
         .distinct()
         .join(e.select(col("src").as("u"), col("dst").as("v")),
           Seq("u", "v"), "left_anti")

@@ -113,7 +113,11 @@ object Extras49 {
     // the planted structure, never all-pairs.
     "q_llm_dup_matrix" -> ((s, d) => {
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      LlmOps.queries("q_llm_dedup_near")(s, d)
+      // Round 16: pairs via the FixtureCache posting layout (the
+      // keep/clusters convention; identical to the inline kernel,
+      // Extras10Spec) and without the near query's presentation sort,
+      // which the join would immediately destroy.
+      LlmOps.nearDupPairs(s, d, cachedTrips = true)
         .select(col("doc_a"), col("doc_b"))
         .join(src.select(col("doc_id").as("doc_a"),
           col("source").as("sa")), "doc_a")
