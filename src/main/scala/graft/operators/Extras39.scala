@@ -110,15 +110,42 @@ object Extras39 {
     // level). Bigram expansion is a pure per-row projection (sequence +
     // substring — no join); one count aggregate over a key space bounded
     // by the alphabet², then a top-k sort of that bounded relation.
-    "q_llm_char_ngrams" -> ((s, d) =>
+    "q_llm_char_ngrams" -> ((s, d) => {
+      import s.implicits._
+      // Round 16 (the char_entropy treatment): the interpreted
+      // transform(sequence)+substring HOF re-seeks the string per
+      // index — O(n²) per document — and shuffles one row per bigram.
+      // This per-partition kernel walks each document's CODE POINTS
+      // once (the same unit substring(text, i, 2) slices — consecutive
+      // code-point pairs, docs shorter than 2 code points contribute
+      // nothing, the oracle's generate_series(1, len-1) semantics) and
+      // pre-counts locally, so only (gram, cnt) partials reach the
+      // exchange (key space alphabet²-bounded).
       Tables.documents(s, d)
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 1)," +
-            " i -> substring(text, i, 2))")).as("gram"))
+        .select(col("text")).as[String]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { text =>
+            var i = 0
+            var prev = -1
+            while (i < text.length) {
+              val cp = text.codePointAt(i)
+              if (prev >= 0) {
+                val g = new String(Character.toChars(prev)) +
+                  new String(Character.toChars(cp))
+                m.update(g, m.getOrElse(g, 0L) + 1L)
+              }
+              prev = cp
+              i += Character.charCount(cp)
+            }
+          }
+          m.iterator.map { case (g, n) => (g, n) }
+        }.toDF("gram", "cnt0")
         .groupBy(col("gram"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt0")).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
-        .limit(50)),
+        .limit(50)
+    }),
 
     // GEOMETRIC MEAN — per order status, the geometric mean of order
     // totals: exp2 of the mean log2. Each per-row log2 is 6-dp-quantized

@@ -91,7 +91,7 @@ object LlmOps {
     * itself stays benchmarked: q_llm_dedup_near computes it INLINE by
     * contract (cached = false), so the posting-build cost never
     * disappears from the bench. */
-  private def shingleTripsCached(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleTripsCached(s: SparkSession, d: String): DataFrame = {
     val dir = graft.FixtureCache.ensure("shingle_trips",
       Seq(s"$d/documents.parquet"),
       "xxhash64 3-gram shingle postings + per-doc distinct counts v1") {
