@@ -33,3 +33,36 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel forked test groups (round-17, verdict item 1): the suite grew to
+// ~2,500 tests across 186 suites and ran ~55 min single-JVM-serial — longer
+// than the driver's verify window, so VERIFY_r16 recorded tests_ok:false with
+// zero failing assertions (a timeout, not a failure). Suites are round-robin
+// partitioned into SPARK_GRAFT_TEST_GROUPS (default 8) forked JVMs that run
+// CONCURRENTLY (each builds its own local[4] SparkSession; 8×4 = the host's
+// 32 cores). Same tests, same assertions — only the wall-clock changes.
+// Safe because: test temp dirs are all per-process unique
+// (Files.createTempDirectory), memory-sink names collide only within one
+// JVM (suites in a group still run sequentially), and FixtureCache installs
+// derived layouts cross-JVM atomically (rename + adopt-the-winner).
+val testGroupsN =
+  scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "8").toInt)
+    .getOrElse(8).max(1)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val baseOpts = (Test / javaOptions).value.toVector
+  tests.zipWithIndex.groupBy(_._2 % testGroupsN).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(
+        name = s"group$i",
+        tests = ts.map(_._1),
+        // -Xmx appended last wins over the inherited 8g: 8 concurrent
+        // sf0.001 test JVMs at 4g each stay far inside the sandbox.
+        runPolicy = Tests.SubProcess(ForkOptions().withRunJVMOptions(
+          baseOpts :+ "-Xmx4g")))
+    }
+}
+// Allow the forked groups to actually run concurrently (sbt's default
+// caps ForkedTestGroup at 1).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupsN),
+  Tags.limitAll(math.max(testGroupsN + 2, 10)))

@@ -51,9 +51,15 @@ object QueryProbe {
     // A/B lever (round 16): comma-separated k=v session-conf overrides,
     // e.g. SPARK_GRAFT_PROBE_CONF=spark.sql.adaptive.coalescePartitions.parallelismFirst=true
     // — lets a probe isolate a conf hypothesis without touching Bench.
+    // (round-16 ADVICE: a token without '=' used to MatchError; fail with
+    // the offending token instead. Conf VALUES may not contain commas —
+    // the separator — which no Spark conf this probe A/Bs needs.)
     sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_PROBE_CONF entry '$kv' is not k=v")
+      }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val sep = args.indexOf("--")

@@ -45,15 +45,22 @@ object Extras152 {
     // re-encode + ADC against the trained book; exact top-10 rerank.
     "q_llm_ann_ivfpq_lloyd" -> ((s, d) => {
       val P = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = Tables.embeddings(s, d)
+      // Round 17 (verdict item 2): the SEARCH path used to eagerly
+      // materialize the WHOLE corpus expansion (posexplode + repartition
+      // + checkpoint = 3 corpus-sized jobs per sample) although search
+      // reads only three slivers of it — the ≤64 centroid vectors, the 4
+      // query vectors, and the ≤100·4 rerank candidates. The shared-
+      // subtree checkpoint moves INSIDE the index build lambda (where
+      // the full expansion genuinely fans out into assign/seed/encode);
+      // the timed path re-derives each sliver from the parquet scan with
+      // the vec_id filter PUSHED to the scan instead.
+      def expl(src: org.apache.spark.sql.DataFrame) = src
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "pos", "x")
         .select(col("vec_id"), (col("pos") + 1).as("dim"),
           (round(col("x").cast("double"), 6).cast(DecimalType(18, 6))
             * 1000000).cast("long").as("q6"))
         .withColumn("sub", expr("(dim - 1) div 4"))
-        .repartition(P, col("vec_id")) // 1-partition expansion trap
-        .duckCkpt()             // shared-subtree rule
       val nc = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
         .select(col("nv"), when(col("nv") <= 512, 8L)
           .when(col("nv") <= 1024, 16L)
@@ -61,7 +68,11 @@ object Extras152 {
           .otherwise(64L).as("c"))
         .withColumn("np", when(col("c") <= 16, 2L).otherwise(4L))
         .withColumn("s", greatest(lit(1L), expr("(nv - c) div 256")))
-      val cent = e.crossJoin(broadcast(nc))
+      // c ≤ 64 by construction, so the static vec_id < 64 pre-filter (a
+      // parquet PushedFilter) is a superset of the data-dependent
+      // vec_id < c cut — identical rows out, corpus scan avoided.
+      val cent = expl(Tables.embeddings(s, d).where(col("vec_id") < 64))
+        .crossJoin(broadcast(nc))
         .where(col("vec_id") < col("c"))
         .select(col("vec_id").as("ccid"), col("dim"), col("q6").as("c6"))
       val cw0 = Window.partitionBy(col("vec_id"))
@@ -84,6 +95,12 @@ object Extras152 {
         Seq(s"$d/embeddings.parquet"),
         "residual IVF-PQ: assign + 1-step-Lloyd codebook + codes, " +
           "v1") { dest =>
+        // the build is where the corpus expansion genuinely fans out
+        // (assign, seed book, both encodes, Lloyd update) — the shared-
+        // subtree checkpoint lives HERE, charged to the ingest build
+        val e = expl(Tables.embeddings(s, d))
+          .repartition(P, col("vec_id")) // 1-partition expansion trap
+          .duckCkpt()
         coarseDots(e).withColumn("rn", row_number().over(cw0))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("ccid").as("cell"))
@@ -150,13 +167,15 @@ object Extras152 {
       // query probes — coarse dots recomputed for the 4 query vectors
       // only (identical rows to the corpus-wide relation restricted
       // to the qids)
-      val qprobe = coarseDots(e.where(col("vec_id").between(0, 3)))
+      val eq = expl(Tables.embeddings(s, d)
+        .where(col("vec_id").between(0, 3))) // pushed to the scan
+      val qprobe = coarseDots(eq)
         .withColumn("rn", row_number().over(cw0))
         .crossJoin(broadcast(nc.select(col("np"))))
         .where(col("rn") <= col("np"))
         .select(col("vec_id").as("qid"), col("ccid").as("cell"))
       // query residual per probed cell → ADC vs the TRAINED book
-      val qe = e.where(col("vec_id").between(0, 3))
+      val qe = eq
         .select(col("vec_id").as("qid"), col("dim"), col("sub"),
           col("q6").as("qq6"))
       val qres = qprobe.join(qe, "qid")
@@ -182,7 +201,13 @@ object Extras152 {
             .orderBy(col("adc_i"), col("vec_id"))))
         .where(col("crank") <= 100)
         .select(col("qid"), col("vec_id"), col("adc_i"))
-      val exact = cand.join(e.select(col("vec_id"), col("dim"),
+        .duckCkpt() // ≤400 rows, read twice (id filter + rerank join)
+      // rerank sliver: drop non-candidates BEFORE the explode — a
+      // broadcast semi-join of ≤400 ids against the 1-file scan replaces
+      // the corpus-wide expansion the old shared checkpoint paid
+      val eCand = expl(Tables.embeddings(s, d)
+        .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id"))
+      val exact = cand.join(eCand.select(col("vec_id"), col("dim"),
           col("q6").as("v6")), "vec_id")
         .join(broadcast(qe.select(col("qid"), col("dim"), col("qq6"))),
           Seq("qid", "dim"))

@@ -61,10 +61,19 @@ object Extras155 {
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_k"))
         .agg(countDistinct(col("o_orderpriority")).as("l"))
-      val summ = ldiv.agg(min(col("l")).as("l_min"),
-        (sum(when(col("l") < 3, 1L).otherwise(0L)).cast("double")
-          / count(lit(1)).cast("double")).as("sh"))
-      ldiv.groupBy(col("l")).agg(count(lit(1)).as("n_classes"))
+      // Round 17 (§1.2 don't-recompute): the summary used to re-run the
+      // whole customer⋈orders join+distinct-agg a second time; both the
+      // verdict columns fold EXACTLY off the l histogram itself —
+      // min(l) over classes = min(l) over histogram rows, and
+      // share = Σ n_classes[l<3] / Σ n_classes is the same integer
+      // division count(l<3)/count(*) was. One fact pass, a ≤|l|-row pin.
+      val hist = ldiv.groupBy(col("l")).agg(count(lit(1)).as("n_classes"))
+        .duckCkpt() // read twice: summary fold + output rows
+      val summ = hist.agg(min(col("l")).as("l_min"),
+        (sum(when(col("l") < 3, col("n_classes")).otherwise(0L))
+          .cast("double")
+          / sum(col("n_classes")).cast("double")).as("sh"))
+      hist
         .crossJoin(broadcast(summ))
         .select(col("l"), col("n_classes"), col("l_min"),
           r6(col("sh")).as("share_below3"))
@@ -83,10 +92,17 @@ object Extras155 {
           .select(col("o_custkey"), col("o_orderpriority").as("pri")),
           col("c_custkey") === col("o_custkey"))
         .select(ck :+ col("pri"): _*)
+      // Round 17 (§1.2 don't-recompute): pris/glob/classes/tot each
+      // re-ran the customer⋈orders join — FIVE fact passes for one
+      // key. Every one of them is a fold of the (class × pri) count
+      // grid: distinct pri of fact = distinct pri of cnt, the global
+      // distribution is Σc per pri, the class list is cnt's key set,
+      // and N = Σc. One fact pass, one ≤|classes|·|pris|-row pin.
       val cnt = fact.groupBy(ck :+ col("pri"): _*)
         .agg(count(lit(1)).as("c"))
-      val pris = fact.select(col("pri")).distinct()
-      val glob = fact.groupBy(col("pri")).agg(count(lit(1)).as("g"))
+        .duckCkpt() // every downstream relation derives from this grid
+      val pris = cnt.select(col("pri")).distinct()
+      val glob = cnt.groupBy(col("pri")).agg(sum(col("c")).as("g"))
       val classes = cnt.select(ck: _*).distinct()
       // dense grid so the cumulative sums see the zero cells
       val grid = classes.crossJoin(broadcast(pris))
@@ -98,7 +114,7 @@ object Extras155 {
       val wc = Window.partitionBy(ck: _*).orderBy(col("pri"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(ck: _*)
-      val tot = fact.agg(count(lit(1)).as("nn"))
+      val tot = cnt.agg(sum(col("c")).as("nn"))
       val mrow = pris.agg(count(lit(1)).as("m"))
       val t = grid
         .withColumn("cumc", sum(col("c")).over(wc))

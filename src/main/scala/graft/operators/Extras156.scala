@@ -53,8 +53,18 @@ object Extras156 {
       // SUPPORT graph); the one-dyad and null classes arrive
       // arithmetically below. The first cut enumerated |D|·n triples
       // and probed 58× at K=8 (measured) — this form probes ~K.
+      // Round 17 (the two_hop lesson, §2.5): the wedge join's INPUT is
+      // the tiny dyad list but its OUTPUT is Σdeg² — AQE's byte-based
+      // coalescing sized the expansion's shuffle read from input bytes
+      // and serialized it. Explicit hash repartitions at core
+      // parallelism on EXACTLY the join key (both sides share it, so
+      // the second side reuses the first's exchange) keep the expansion
+      // parallel, and the same pin on the (x,y,z) triple dedup keeps
+      // the Σdeg²-row distinct merge parallel.
+      val p = s.sparkContext.defaultParallelism
       val inc = df.select(col("u").as("w"), col("v").as("o"))
         .unionByName(df.select(col("v").as("w"), col("u").as("o")))
+        .repartition(p, col("w"))
       val wedges = inc.as("p").join(inc.as("q"),
           col("p.w") === col("q.w") && col("p.o") < col("q.o"))
         .select(col("p.w").as("a"), col("p.o").as("b"),
@@ -65,7 +75,9 @@ object Extras156 {
           (col("a") + col("b") + col("c")
             - least(col("a"), least(col("b"), col("c")))
             - greatest(col("a"), greatest(col("b"), col("c")))).as("y"))
-        .select(col("x"), col("y"), col("z")).distinct()
+        .select(col("x"), col("y"), col("z"))
+        .repartition(p, col("x"), col("y"), col("z"))
+        .distinct()
       val dxy = df.select(col("u").as("x"), col("v").as("y"),
         col("f").as("b0"), col("b").as("b1"))
       val dxz = df.select(col("u").as("x"), col("v").as("z"),
@@ -167,6 +179,11 @@ object Extras156 {
       // cum-count pass (was: one value-spine window job per (column,
       // percentile) — four passes; the conditional mins below select
       // exactly the rows the per-p `where cum*10 >= n*p` kept).
+      // (Round 17: a distributed two-level prefix sum was A/B'd here and
+      // REVERTED — the value spine SATURATES with volume (ScaleProbe 8×:
+      // same spine rows at 1× and 8×; window form 3.74 s vs binned form
+      // 3.90 s at 8×), so the serial window never becomes the bottleneck
+      // while the binned form pays 3 extra exchanges/broadcasts.)
       def thr(c: String): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
           .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -121,13 +121,10 @@ object Extras16 {
     // reported value (the threshold crossing lands inside the same
     // equal-price block under any permutation of it).
     "q_agg_weighted_median" -> ((s, d) => {
-      val ord = Window.partitionBy(col("rf"))
-        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
       val base = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"),
           dec(col("l_extendedprice")).as("p"),
-          dec(col("l_quantity")).as("w"),
-          col("l_orderkey"), col("l_linenumber"))
+          dec(col("l_quantity")).as("w"))
       // Round 16: totw/nr were unbounded whole-partition window passes
       // (a second full buffer-and-scan of every rf partition after the
       // cumulative sort). A 3-row grouped aggregate broadcast back in
@@ -135,8 +132,21 @@ object Extras16 {
       // HashAggregate over a pruned (rf, w) projection.
       val tots = base.groupBy(col("rf"))
         .agg(sum(col("w")).as("totw"), count(lit(1)).as("nr"))
-      base
-        .withColumn("cumw", sum(col("w"))
+      // Round 17 (§2.3 shuffle fewer bytes): the cumulative window used
+      // to sort and buffer EVERY lineitem row inside 3 rf partitions
+      // (row-level tie-break columns included). The crossing price is a
+      // function of the per-(rf, price) BLOCK cumulative alone — for any
+      // row-level order, the first row with 2·cumw ≥ totw sits in the
+      // block p* where the block cum first reaches the threshold, and
+      // min(p) over qualifying rows is p* — so the window runs over the
+      // grouped (rf, price, Σw) spine: map-side partial aggregation
+      // shrinks the sorted/windowed relation from |lineitem| rows to the
+      // price-spine size, and the row-id tie-break columns vanish.
+      val byPrice = base.groupBy(col("rf"), col("p"))
+        .agg(sum(col("w")).as("bw"))
+      val ord = Window.partitionBy(col("rf")).orderBy(col("p"))
+      byPrice
+        .withColumn("cumw", sum(col("bw"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .join(broadcast(tots), "rf")
         .where(col("cumw") * 2 >= col("totw"))
@@ -160,9 +170,20 @@ object Extras16 {
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
-      val common = e.as("p").join(e.as("q"),
+      // Round 17 (the two_hop lesson, §2.5): the common-neighbor join's
+      // output is Σdeg² on a tiny edge-list input — explicit hash
+      // repartitions at core parallelism on the join key (shared by both
+      // sides → one exchange, reused) keep the expansion parallel, and
+      // the explicit pair-key repartition satisfies the downstream
+      // aggregate's required distribution so its Σdeg²-row merge does
+      // not ride a byte-coalesced AQE read (the postingPairs lesson).
+      val p = s.sparkContext.defaultParallelism
+      val eR = e.repartition(p, col("dst"))
+      val common = eR.as("p").join(eR.as("q"),
           col("p.dst") === col("q.dst") && col("p.src") < col("q.src"))
-        .groupBy(col("p.src").as("a"), col("q.src").as("b"))
+        .select(col("p.src").as("a"), col("q.src").as("b"))
+        .repartition(p, col("a"), col("b"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("common"))
         .where(col("common") >= 1)
       common

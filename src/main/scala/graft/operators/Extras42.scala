@@ -228,10 +228,18 @@ object Extras42 {
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy(col("dst").as("z")).agg(count(lit(1)).as("degz"))
         .withColumn("w_pico", round(lit(1e12) / log(col("degz"))).cast("long"))
-      e.as("p").join(e.as("q"),
+      // Round 17 (the two_hop lesson, §2.5): Σdeg²-output expansion on a
+      // byte-sized input — explicit core-parallelism repartitions on the
+      // shared join key and on the downstream pair aggregate's keys keep
+      // both the expansion and the merge off single-core AQE reads.
+      val p = s.sparkContext.defaultParallelism
+      val eR = e.repartition(p, col("dst"))
+      eR.as("p").join(eR.as("q"),
           col("p.dst") === col("q.dst") && col("p.src") < col("q.src"))
         .join(broadcast(deg), col("p.dst") === col("z"))
-        .groupBy(col("p.src").as("a"), col("q.src").as("b"))
+        .select(col("p.src").as("a"), col("q.src").as("b"), col("w_pico"))
+        .repartition(p, col("a"), col("b"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n_common"), sum(col("w_pico")).as("aa_pico"))
         .select(col("a"), col("b"), col("n_common"), col("aa_pico"),
           (col("aa_pico").cast("double") / 1e12).as("aa"))

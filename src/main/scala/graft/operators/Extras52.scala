@@ -82,8 +82,17 @@ object Extras52 {
     // |V|³), wedges from the exact degree moment Σ deg·(deg−1).
     "q_graph_transitivity" -> ((s, d) => {
       val und = Extras11.undirectedEdges(s, d) // (a < b) canonical edges
-      val tri = und.as("x")
-        .join(und.as("y"), col("x.b") === col("y.a"))
+      // Round 17 (the two_hop lesson, §2.5): the a<b<c wedge join emits
+      // Σdeg² rows from a byte-sized edge list — explicit core-
+      // parallelism repartitions on each side's join key keep the
+      // expansion (and the fused semi-probe + count above it) parallel
+      // instead of riding a byte-coalesced AQE read. The closing-edge
+      // semi join stays planner-chosen (broadcast here; at corpus scale
+      // the planner shuffles it, which is the right call there).
+      val p = s.sparkContext.defaultParallelism
+      val tri = und.repartition(p, col("b")).as("x")
+        .join(und.repartition(p, col("a")).as("y"),
+          col("x.b") === col("y.a"))
         .join(und.as("z"),
           col("z.a") === col("x.a") && col("z.b") === col("y.b"),
           "left_semi")

@@ -116,8 +116,15 @@ object Extras95 {
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-      val wedge = e.as("e1")
-        .join(e.as("e2"),
+      // Round 17 (the two_hop lesson, §2.5): Σdeg²-output wedge join on
+      // a byte-sized edge list — one explicit core-parallelism
+      // repartition on the shared join key (both sides reuse it) keeps
+      // the expansion parallel; the closing-edge join and the per-node
+      // count stay planner-chosen above it.
+      val p = s.sparkContext.defaultParallelism
+      val eR = e.repartition(p, col("src"))
+      val wedge = eR.as("e1")
+        .join(eR.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.src").as("v"), col("e1.dst").as("a"),
           col("e2.dst").as("b"))

@@ -181,6 +181,8 @@ object LlmOps {
               while (buf.hasNext && buf.head._2 == key) {
                 val r = buf.next(); v += ((r._1, r._3))
               }
+              // hot-key guard — same bound and routing as PairKernel
+              PairKernel.guardGroup(key, v.length)
               if (v.length >= 2)
                 // rows arrive doc-sorted within the run (the sort above),
                 // so pairs come out (lo, hi)-normalized as before.
@@ -243,7 +245,14 @@ object LlmOps {
         .select(col("vec_id").as("va"), quant(col("embedding")).as("ea"))
       val b = Tables.embeddings(s, d)
         .select(col("vec_id").as("vb"), quant(col("embedding")).as("eb"))
-      a.join(b, col("va") < col("vb"))
+      // Round 17 (§2.5): the theta join streams side a and broadcasts b
+      // (planner-chosen — NO explicit hint, so PlanAuditSpec's theta-
+      // baseline detector still sees the documented unbounded shape); a
+      // arrived as ONE scan partition (one small parquet file), so the
+      // n² cosine expansion ran serial. A round-robin repartition at
+      // core parallelism on the STREAMED side spreads the expansion.
+      a.repartition(s.sparkContext.defaultParallelism)
+        .join(b, col("va") < col("vb"))
         .withColumn("score", cosineQ(col("ea"), col("eb")))
         .where(col("score") >= 0.35)
         .select(col("va"), col("vb"), col("score"))

@@ -42,8 +42,16 @@ object LlmSketches {
     val probed = emb.select(col("vec_id"), col("qe"),
       explode(array(ProbeMasks.map(m =>
         col("bkt").bitwiseXOR(lit(m))): _*)).as("pb"))
-    probed.as("a")
-      .join(emb.as("b"),
+    // Round 17 (§2.5): the bucket key space is 2⁴ = 16 values, so a hash
+    // join on it caps parallelism at 16 skewed partitions — and the
+    // probe side arrives as ONE scan partition, serializing the
+    // ~(5/16)·n² candidate expansion. Broadcasting the bucketed side
+    // (the production IVF/LSH probe shape: index broadcast, probes
+    // streamed) and round-robin repartitioning the STREAMED probe side
+    // at core parallelism spreads the expansion; candidates, scores and
+    // the ≥ 0.35 cut are unchanged.
+    probed.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(emb).as("b"),
         col("a.pb") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         (longDot(col("a.qe"), col("b.qe")).cast("double") / 1e12).as("score"))

@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object PairKernel {
 
+  /** Hot-key guard (round-17, verdict item 9): one group's DISTINCT values
+    * buffer in a single task's ArrayBuffer, and the group emits C(m,2)
+    * pairs — a degenerate key (one basket holding millions of items, one
+    * shingle present in every document) would both pressure task memory
+    * (§5) and serialize a quadratic enumeration no exact formulation can
+    * parallelize. Past this bound the kernel fails LOUDLY with the routed
+    * answer (the MinHash-LSH family is the 100 TB path for that corpus
+    * shape) instead of grinding into an hours-long single task or an OOM.
+    * 2^22 distinct values ≈ 64 MB buffered and ≈ 8.8e12 pairs — already
+    * far past any feasible exact all-pairs budget, so the guard can never
+    * clip a workload the kernel could actually serve. */
+  private[operators] val MaxGroupValues: Int = 1 << 22
+
+  private[operators] def guardGroup(key: Any, m: Int): Unit =
+    if (m > MaxGroupValues) sys.error(
+      s"PairKernel: group '$key' has $m distinct values (> $MaxGroupValues);" +
+        " exact C(m,2) enumeration is infeasible for a key this hot —" +
+        " route this corpus shape to the MinHash-LSH family instead")
+
   /** @param rel   two-column relation (key, value), both LONG
     * @param both  also emit (hi, lo) — the directed-rules variant
     * @return (a, b) pair instances, one per co-occurrence */
@@ -48,6 +67,7 @@ object PairKernel {
               val x = buf.next()._2
               if (v.isEmpty || v.last != x) v += x // sorted: dedup adjacent
             }
+            guardGroup(key, v.length)
             if (v.length >= 2) {
               val up = for {
                 i <- v.indices.iterator
@@ -94,6 +114,7 @@ object PairKernel {
               val x = buf.next()._2
               if (v.isEmpty || v.last != x) v += x // sorted: dedup adjacent
             }
+            guardGroup(key, v.length)
             if (v.length >= 2) {
               val up = for {
                 i <- v.indices.iterator
