@@ -55,34 +55,72 @@ object Extras138 {
       .distinct()
   }
 
+  /** Transitive closure of a (src, dst) edge relation by SEMI-NAIVE
+    * path doubling (round 17; shared by sccLabels and q_graph_bowtie).
+    *
+    * The naive loop (r ← distinct(r ∪ r∘r) to a count fixpoint)
+    * re-joined the FULL closure with itself every round — at sf0.1 the
+    * last two rounds each expanded ~Σk³ candidate paths within SCCs to
+    * add +2 and then 0 new pairs (measured 1.4 s/round via the diag).
+    * Every pair NEW to r_i∘r_i has at least one factor in
+    * Δ = r_i \ r_{i-1} (both-old factors were composed in the previous
+    * round), so each round joins only Δ∘r ∪ r∘Δ, anti-joins r away and
+    * unions the DISJOINT remainder: the no-progress confirm round
+    * shrinks to a Δ-sized (eventually empty) join and no round
+    * re-distincts the whole closure. Per-leg distinct BEFORE the
+    * anti-join lets HashAggregate's map-side partial dedup collapse the
+    * ~k×-re-derived pairs inside the expansion stage itself. (A single
+    * distinct ABOVE the union trips a Catalyst attribute-resolution bug
+    * against the shared-lineage anti-join — "key not found: s#…" — so
+    * each leg dedups separately.) Identical fixpoint: the union chain
+    * accumulates exactly the pairs the naive loop's distinct kept.
+    * Lazy checkpoints (round 16): each round's count() materializes its
+    * own blocks. */
+  private[operators] def transitiveClosure(edges: DataFrame): DataFrame = {
+    val diag = sys.env.contains("SPARK_GRAFT_COMPONENTS_DIAG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (diag) {
+      System.err.println(
+        f"[closure] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
+    }
+    val c = edges.columns
+    var r = edges.select(col(c(0)).as("s"), col(c(1)).as("t"))
+      .duckCkptLazy()
+    var n = r.count()
+    lap(s"seed n=$n")
+    var delta = r
+    var grown = n > 0
+    while (grown) {
+      val r2 = delta.as("a").join(r.as("b"), col("a.t") === col("b.s"))
+        .select(col("a.s").as("s"), col("b.t").as("t")).distinct()
+        .unionByName(
+          r.as("a").join(delta.as("b"), col("a.t") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.t").as("t")).distinct())
+      val nd = r2.join(r, Seq("s", "t"), "left_anti").distinct()
+        .duckCkptLazy()
+      val dn = nd.count()
+      lap(s"round new=$dn")
+      if (dn == 0) grown = false
+      else {
+        // disjoint by construction (anti-join) — plain union of two
+        // materialized checkpoint RDDs, no re-distinct of the closure
+        r = r.unionByName(nd)
+        delta = nd
+        n += dn
+      }
+    }
+    r
+  }
+
   /** SCC label kernel over directedEdges — (u, scc_id) with
     * scc_id = min over {u} ∪ {v : u ⇝ v ∧ v ⇝ u}. Shared by
     * q_graph_scc and the condensation op (Extras139). */
   private[operators] def sccLabels(s: SparkSession, d: String): DataFrame = {
-    // Lazy checkpoints throughout the loop (round 16): every round is
-    // immediately followed by its own count(), which materializes the
-    // round's blocks — the dedicated eager-checkpoint job per round was
-    // pure scheduler overhead.
     val edges = directedEdges(s, d).duckCkptLazy()
     val nodes = edges.select(col("src").as("u"))
       .unionByName(edges.select(col("dst").as("u"))).distinct()
-    var r = edges.select(col("src").as("s"), col("dst").as("t"))
-      .duckCkptLazy()
-    var n = r.count()
-    var grown = true
-    // (Round 16: explicit core-parallelism repartitions on the closure
-    // joins — the two_hop treatment — were A/B'd here and REVERTED:
-    // this closure is chain-shaped and small at bench scale, so the
-    // extra shuffles cost more than the parallelism bought.)
-    while (grown) {
-      val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
-        .select(col("a.s").as("s"), col("b.t").as("t"))
-      val nr = r.unionByName(r2).distinct().duckCkptLazy()
-      val nn = nr.count()
-      grown = nn != n
-      n = nn
-      r = nr
-    }
+    val r = transitiveClosure(edges)
     val mut = r.as("x").join(r.as("y"),
         col("x.s") === col("y.t") && col("x.t") === col("y.s"))
       .select(col("x.s").as("u"), col("x.t").as("v"))

@@ -50,19 +50,9 @@ object Extras154 {
       val nodes = edges.select(col("src").as("u"))
         .unionByName(edges.select(col("dst").as("u"))).distinct()
         .duckCkptLazy()
-      var r = edges.select(col("src").as("s"), col("dst").as("t"))
-        .duckCkptLazy()
-      var n = r.count()
-      var grown = true
-      while (grown) {
-        val r2 = r.as("a").join(r.as("b"), col("a.t") === col("b.s"))
-          .select(col("a.s").as("s"), col("b.t").as("t"))
-        val nr = r.unionByName(r2).distinct().duckCkptLazy()
-        val nn = nr.count()
-        grown = nn != n
-        n = nn
-        r = nr
-      }
+      // Round 17: shared SEMI-NAIVE doubling kernel (see
+      // Extras138.transitiveClosure) — same fixpoint, Δ-sized rounds.
+      val r = Extras138.transitiveClosure(edges)
       val mut = r.as("x").join(r.as("y"),
           col("x.s") === col("y.t") && col("x.t") === col("y.s"))
         .select(col("x.s").as("u"), col("x.t").as("v"))
