@@ -67,12 +67,16 @@ object Extras138 {
     * round), so each round joins only Δ∘r ∪ r∘Δ, anti-joins r away and
     * unions the DISJOINT remainder: the no-progress confirm round
     * shrinks to a Δ-sized (eventually empty) join and no round
-    * re-distincts the whole closure. Per-leg distinct BEFORE the
-    * anti-join lets HashAggregate's map-side partial dedup collapse the
-    * ~k×-re-derived pairs inside the expansion stage itself. (A single
-    * distinct ABOVE the union trips a Catalyst attribute-resolution bug
-    * against the shared-lineage anti-join — "key not found: s#…" — so
-    * each leg dedups separately.) Identical fixpoint: the union chain
+    * re-distincts the whole closure. ONE distinct, after the anti-join:
+    * per-leg distincts before the anti were A/B'd (map-side partial
+    * dedup of the ~k×-re-derived pairs) and REVERTED — at bench scale
+    * each round's cost is exchange/aggregate FLOOR, not bytes, and the
+    * two extra per-leg aggregates made q_graph_bowtie's 3-round loop
+    * measurably slower (bench median 2.12 → 2.83 s) while the anti-join
+    * shuffles the union either way. (A distinct ABOVE the union before
+    * the anti trips a Catalyst attribute-resolution bug against the
+    * shared-lineage anti-join — "key not found: s#…" — distinct after
+    * the anti resolves cleanly.) Identical fixpoint: the union chain
     * accumulates exactly the pairs the naive loop's distinct kept.
     * Lazy checkpoints (round 16): each round's count() materializes its
     * own blocks. */
@@ -85,6 +89,13 @@ object Extras138 {
       t0 = System.nanoTime()
     }
     val c = edges.columns
+    // (Round 17 A/B'd and REVERTED: round-robin repartitioning each
+    // checkpoint to core parallelism — the two_hop treatment, on the
+    // theory that the 1-2-partition checkpoints serialize the broadcast
+    // joins' streamed side — measured 2-3× SLOWER on all three closure
+    // keys (scc 2.0 → 6.8 s probe-steady): the per-round exchanges and
+    // the partition-count blowup on the union chain cost far more than
+    // the expansion's residual serialism at these byte sizes.)
     var r = edges.select(col(c(0)).as("s"), col(c(1)).as("t"))
       .duckCkptLazy()
     var n = r.count()
@@ -93,10 +104,10 @@ object Extras138 {
     var grown = n > 0
     while (grown) {
       val r2 = delta.as("a").join(r.as("b"), col("a.t") === col("b.s"))
-        .select(col("a.s").as("s"), col("b.t").as("t")).distinct()
+        .select(col("a.s").as("s"), col("b.t").as("t"))
         .unionByName(
           r.as("a").join(delta.as("b"), col("a.t") === col("b.s"))
-            .select(col("a.s").as("s"), col("b.t").as("t")).distinct())
+            .select(col("a.s").as("s"), col("b.t").as("t")))
       val nd = r2.join(r, Seq("s", "t"), "left_anti").distinct()
         .duckCkptLazy()
       val dn = nd.count()

@@ -124,7 +124,8 @@ object Extras16 {
       val base = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"),
           dec(col("l_extendedprice")).as("p"),
-          dec(col("l_quantity")).as("w"))
+          dec(col("l_quantity")).as("w"),
+          col("l_orderkey"), col("l_linenumber"))
       // Round 16: totw/nr were unbounded whole-partition window passes
       // (a second full buffer-and-scan of every rf partition after the
       // cumulative sort). A 3-row grouped aggregate broadcast back in
@@ -132,21 +133,19 @@ object Extras16 {
       // HashAggregate over a pruned (rf, w) projection.
       val tots = base.groupBy(col("rf"))
         .agg(sum(col("w")).as("totw"), count(lit(1)).as("nr"))
-      // Round 17 (§2.3 shuffle fewer bytes): the cumulative window used
-      // to sort and buffer EVERY lineitem row inside 3 rf partitions
-      // (row-level tie-break columns included). The crossing price is a
-      // function of the per-(rf, price) BLOCK cumulative alone — for any
-      // row-level order, the first row with 2·cumw ≥ totw sits in the
-      // block p* where the block cum first reaches the threshold, and
-      // min(p) over qualifying rows is p* — so the window runs over the
-      // grouped (rf, price, Σw) spine: map-side partial aggregation
-      // shrinks the sorted/windowed relation from |lineitem| rows to the
-      // price-spine size, and the row-id tie-break columns vanish.
-      val byPrice = base.groupBy(col("rf"), col("p"))
-        .agg(sum(col("w")).as("bw"))
-      val ord = Window.partitionBy(col("rf")).orderBy(col("p"))
-      byPrice
-        .withColumn("cumw", sum(col("bw"))
+      // Round 17 A/B'd and REVERTED: running the cumulative window over
+      // the grouped (rf, price, Σw) block spine (map-side partial agg
+      // before the sort) measured SLOWER in full-bench conditions
+      // (1.76 → 2.77 s median) — the price spine is 594,330 distinct
+      // (rf, price) pairs over 600,000 rows at sf0.1, so the grouped pass
+      // shrinks nothing and adds a full extra hash-aggregate exchange.
+      // The row-level window (one (rf) exchange shared with nothing
+      // else, 3-partition sort) stays; the block form only wins when the
+      // value spine saturates, which a price key does not.
+      val ord = Window.partitionBy(col("rf"))
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      base
+        .withColumn("cumw", sum(col("w"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .join(broadcast(tots), "rf")
         .where(col("cumw") * 2 >= col("totw"))
@@ -170,20 +169,17 @@ object Extras16 {
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
-      // Round 17 (the two_hop lesson, §2.5): the common-neighbor join's
-      // output is Σdeg² on a tiny edge-list input — explicit hash
-      // repartitions at core parallelism on the join key (shared by both
-      // sides → one exchange, reused) keep the expansion parallel, and
-      // the explicit pair-key repartition satisfies the downstream
-      // aggregate's required distribution so its Σdeg²-row merge does
-      // not ride a byte-coalesced AQE read (the postingPairs lesson).
-      val p = s.sparkContext.defaultParallelism
-      val eR = e.repartition(p, col("dst"))
-      val common = eR.as("p").join(eR.as("q"),
+      // Round 17 A/B'd and REVERTED (the two_hop §2.5 treatment —
+      // explicit core-parallelism repartitions on the wedge join and
+      // the pair aggregate): full-bench medians read 0.67 → 0.92 s WITH
+      // the repartitions (all three samples elevated) — unlike two_hop,
+      // this graph's Σdeg² expansion is small at sf0.1, so the two
+      // extra exchanges are pure floor. The planner-chosen shape stays;
+      // the pattern is kept on the keys where it measured neutral-or-
+      // better (triad_census, transitivity, two_hop itself).
+      val common = e.as("p").join(e.as("q"),
           col("p.dst") === col("q.dst") && col("p.src") < col("q.src"))
-        .select(col("p.src").as("a"), col("q.src").as("b"))
-        .repartition(p, col("a"), col("b"))
-        .groupBy(col("a"), col("b"))
+        .groupBy(col("p.src").as("a"), col("q.src").as("b"))
         .agg(count(lit(1)).as("common"))
         .where(col("common") >= 1)
       common

@@ -42,13 +42,16 @@ object Extras23 {
     "q_agg_ks_test" -> ((s, d) => {
       val cum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      ecdfGrid(s, d)
+      // Round 17 (the weighted_median totals treatment): n1/n2 were a
+      // second UNBOUNDED whole-partition window pass over the value
+      // spine; a 1-row aggregate broadcast back in computes the same
+      // exact integers (the scan+grid exchange is reused).
+      val grid = ecdfGrid(s, d)
+      val tots = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      grid
         .withColumn("cum1", sum(col("c1")).over(cum).cast("decimal(38,0)"))
         .withColumn("cum2", sum(col("c2")).over(cum).cast("decimal(38,0)"))
-        .withColumn("n1", sum(col("c1")).over(all))
-        .withColumn("n2", sum(col("c2")).over(all))
+        .crossJoin(broadcast(tots))
         .withColumn("num",
           abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
             .cast("decimal(38,0)"))

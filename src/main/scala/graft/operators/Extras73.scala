@@ -48,23 +48,68 @@ object Extras73 {
     * CONSTANT while the corpus scales, so the probe caps the bench
     * slice to the 1× doc_id block — a no-op at 1× where every doc_id
     * is below the ScaleProbe replica block offset 2^20). */
+  /** FNV-1a 64 over a string's UTF-16 code units — a deterministic
+    * per-word fingerprint for the 13-gram kernel below. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   private[graft] def contamination13(s: SparkSession, d: String,
                                      benchIdCap: Long): DataFrame = {
-    val ws = split(col("text"), " ")
-    val bucket = pmod(md5long(
-      concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
-    val grams = Tables.documents(s, d)
-      .where(size(ws) >= 13)
-      .select(col("doc_id"), bucket.as("bucket"),
-        explode(transform(sequence(lit(1), size(ws) - 12),
-          i => concat_ws(" ", slice(ws, i, lit(13))))).as("g"))
-    val bench = grams.where(col("bucket") >= 90
-        && col("doc_id") < benchIdCap)
+    import s.implicits._
+    // Round 17 (codegen/expressions): the old form ran the interpreted
+    // transform(sequence)+slice+concat_ws HOF TWICE over the corpus
+    // (bench + train side), materializing every position's 13-WORD RAW
+    // string and pushing those ~100-byte keys through the broadcast,
+    // the join and a countDistinct. This per-partition kernel splits
+    // each doc once, fingerprints each word (FNV-1a 64) and combines 13
+    // word-hashes positionally (odd-multiplier polynomial) — O(words)
+    // per doc, no gram strings built — emitting each doc's DISTINCT
+    // 8-byte gram fingerprints. Joining on fingerprints instead of raw
+    // grams is the same no-64-bit-collision trade the 3-gram
+    // q_llm_contamination and the whole MinHash family document
+    // (P(any collision) ≈ n²/2⁶⁵); equal grams hash equal on both
+    // sides, so hits and per-doc distinct counts are unchanged.
+    val B = 0x9E3779B97F4A7C15L // odd ⇒ invertible mod 2^64
+    def grams(keep: (Long, Long) => Boolean) = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          val bucket = md5longJvm("split:" + docId) % 100
+          if (!keep(bucket, docId)) Iterator.empty
+          else {
+            val ws = text.split(" ", -1)
+            if (ws.length < 13) Iterator.empty
+            else {
+              val wh = ws.map(fnv64)
+              val seen = new java.util.HashSet[java.lang.Long]()
+              val out = Array.newBuilder[(Long, Long)]
+              var i = 0
+              while (i + 13 <= wh.length) {
+                var g = 0L
+                var j = 0
+                while (j < 13) { g = g * B + wh(i + j); j += 1 }
+                if (seen.add(g)) out += ((docId, g))
+                i += 1
+              }
+              out.result().iterator
+            }
+          }
+        }
+      }.toDF("doc_id", "g")
+    val bench = grams((b, id) => b >= 90 && id < benchIdCap)
       .select(col("g")).distinct()
-    grams.where(col("bucket") < 80)
+    grams((b, _) => b < 80)
       .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_hit_grams"))
+      // fingerprints are per-doc distinct already (the kernel dedups)
+      .agg(count(lit(1)).as("n_hit_grams"))
       .orderBy("doc_id")
   }
 
