@@ -67,17 +67,11 @@ object Extras138 {
     * round), so each round joins only Δ∘r ∪ r∘Δ, anti-joins r away and
     * unions the DISJOINT remainder: the no-progress confirm round
     * shrinks to a Δ-sized (eventually empty) join and no round
-    * re-distincts the whole closure. ONE distinct, after the anti-join:
-    * per-leg distincts before the anti were A/B'd (map-side partial
-    * dedup of the ~k×-re-derived pairs) and REVERTED — at bench scale
-    * each round's cost is exchange/aggregate FLOOR, not bytes, and the
-    * two extra per-leg aggregates made q_graph_bowtie's 3-round loop
-    * measurably slower (bench median 2.12 → 2.83 s) while the anti-join
-    * shuffles the union either way. (A distinct ABOVE the union before
-    * the anti trips a Catalyst attribute-resolution bug against the
-    * shared-lineage anti-join — "key not found: s#…" — distinct after
-    * the anti resolves cleanly.) Identical fixpoint: the union chain
-    * accumulates exactly the pairs the naive loop's distinct kept.
+    * re-distincts the whole closure. Leg dedup is ADAPTIVE on the
+    * incoming Δ's row count (both always-on and never-on were full-
+    * bench A/B'd and lost — numbers at the loop). Identical fixpoint:
+    * the union chain accumulates exactly the pairs the naive loop's
+    * distinct kept (leg/except dedup only removes duplicates).
     * Lazy checkpoints (round 16): each round's count() materializes its
     * own blocks. */
   private[operators] def transitiveClosure(edges: DataFrame): DataFrame = {
@@ -101,16 +95,32 @@ object Extras138 {
     var n = r.count()
     lap(s"seed n=$n")
     var delta = r
+    var dn = n
     var grown = n > 0
     while (grown) {
-      val r2 = delta.as("a").join(r.as("b"), col("a.t") === col("b.s"))
-        .select(col("a.s").as("s"), col("b.t").as("t"))
+      // Adaptive leg dedup (§2.2 shuffle fewer bytes — when there ARE
+      // bytes): a doubling round's expansion re-derives each in-SCC
+      // pair ~k× (Σk³ rows), so when the incoming Δ is large, a
+      // per-leg distinct collapses the expansion map-side BEFORE the
+      // anti-join's exchange (full-bench evidence: without it,
+      // scc_dag 2.58 → 4.08 s, scc 2.37 → 2.58 s). When Δ is small
+      // (late/confirm rounds — bowtie's Δ=119 round), the expansion is
+      // Δ-bounded and the two extra aggregate exchanges are pure floor
+      // (bowtie 2.12 → 2.83 s WITH unconditional leg dedup). The
+      // row-count threshold scales with the data, not the host.
+      val dedupLegs = dn > 4096
+      def leg(df: DataFrame) = if (dedupLegs) df.distinct() else df
+      val r2 = leg(delta.as("a").join(r.as("b"), col("a.t") === col("b.s"))
+          .select(col("a.s").as("s"), col("b.t").as("t")))
         .unionByName(
-          r.as("a").join(delta.as("b"), col("a.t") === col("b.s"))
-            .select(col("a.s").as("s"), col("b.t").as("t")))
-      val nd = r2.join(r, Seq("s", "t"), "left_anti").distinct()
-        .duckCkptLazy()
-      val dn = nd.count()
+          leg(r.as("a").join(delta.as("b"), col("a.t") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.t").as("t"))))
+      // EXCEPT (distinct anti-join) resolves the shared-lineage plan
+      // cleanly where distinct-above-union + left_anti trips Catalyst's
+      // "key not found: s#…" (re-verified this round with explicit
+      // aliases — still trips; except does not).
+      val nd = r2.except(r).duckCkptLazy()
+      dn = nd.count()
       lap(s"round new=$dn")
       if (dn == 0) grown = false
       else {
